@@ -1,0 +1,74 @@
+"""Frozen, hashable configuration dataclasses (pytree-static).
+
+The reference hard-codes every hyperparameter as a literal (N=128 at
+double_heston.py:160, L=10 at :100, maxiter/ftol/gtol at
+lbfgs_calibrator.py:263-268, penalty weight 1000 at :116, sentinel 1e10 at
+:153, multi_start=3 at :236, generator ranges at synthetic_generator.py:75-93).
+Here they are first-class, jit-static config objects.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PricerConfig:
+    """COS pricer settings (defaults mirror the reference)."""
+    n_terms: int = 128         # COS series length N (double_heston.py:160)
+    trunc_L: float = 10.0      # truncation width multiplier (double_heston.py:100)
+    dividend_yield: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSConfig:
+    """On-device L-BFGS settings.
+
+    maxiter/ftol/gtol mirror scipy L-BFGS-B options used by the reference
+    (lbfgs_calibrator.py:263-268). ``history`` is the two-loop-recursion
+    memory (scipy's default m=10). The line-search constants are standard
+    strong-Wolfe values.
+    """
+    maxiter: int = 300
+    history: int = 10
+    ftol: float = 1e-9
+    gtol: float = 1e-6
+    wolfe_c1: float = 1e-4
+    wolfe_c2: float = 0.9
+    max_linesearch: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationConfig:
+    """Full calibration problem settings."""
+    pricer: PricerConfig = PricerConfig()
+    lbfgs: LBFGSConfig = LBFGSConfig()
+    multi_start: int = 3                 # lbfgs_calibrator.py:236
+    feller_weight: float = 1000.0        # lbfgs_calibrator.py:116
+    bad_loss: float = 1e10               # non-finite sentinel, lbfgs_calibrator.py:153
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceSpec:
+    """Standard benchmark surface: 5 strikes x 3 maturities, all calls
+    (synthetic_generator.py:91-93)."""
+    rel_strikes: Tuple[float, ...] = (90.0, 95.0, 100.0, 105.0, 110.0)
+    maturities: Tuple[float, ...] = (0.25, 0.5, 1.0)
+    spot: float = 100.0
+    rate: float = 0.03
+
+    @property
+    def n_options(self) -> int:
+        return len(self.rel_strikes) * len(self.maturities)
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    """Synthetic data generator settings (synthetic_generator.py:59-116)."""
+    n_samples: int = 500
+    ar_alpha: float = 0.9                # day-over-day persistence
+    spot_drift: float = 0.0003
+    spot_vol: float = 0.01
+    market_noise: float = 0.02           # multiplicative price noise
+    start_date: str = "2022-01-03"
+    surface: SurfaceSpec = SurfaceSpec()
