@@ -35,6 +35,15 @@ from .utils.config import (
     CalibrationConfig, GeneratorConfig, LBFGSConfig, PricerConfig,
     SurfaceSpec)
 from .utils.results import CalibrationResult, write_benchmark_json
+from .data.synthetic import (
+    SyntheticDataset, generate_dataset, load_dataset, save_dataset,
+    to_calibration_results)
+from .surrogate.features import extract_features
+from .surrogate.ffn import SurrogateFFN, init_ffn
+from .surrogate.hybrid import HybridResult, ffn_only_predict, hybrid_calibrate
+from .surrogate.train import (
+    TrainedSurrogate, fit, load_surrogate, pretrain_and_finetune,
+    save_surrogate)
 
 __version__ = "0.1.0"
 
@@ -51,5 +60,11 @@ __all__ = [
     "CalibrationConfig", "GeneratorConfig", "LBFGSConfig", "PricerConfig",
     "SurfaceSpec",
     "CalibrationResult", "write_benchmark_json",
+    "SyntheticDataset", "generate_dataset", "load_dataset", "save_dataset",
+    "to_calibration_results",
+    "extract_features", "SurrogateFFN", "init_ffn",
+    "HybridResult", "ffn_only_predict", "hybrid_calibrate",
+    "TrainedSurrogate", "fit", "load_surrogate", "pretrain_and_finetune",
+    "save_surrogate",
     "__version__",
 ]
