@@ -65,17 +65,22 @@ def run(dtype_name):
     import jax
     import jax.numpy as jnp
     from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
-        calibrate_batch)
+        calibrate_batch, calibrate_batch_mixed)
 
-    if dtype_name == "float64":
+    if dtype_name in ("float64", "mixed"):
         jax.config.update("jax_enable_x64", True)
-    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
 
     spots, bs, bm, bc, prices, keys = build_problem(dtype)
 
-    def go():
-        return calibrate_batch(spots, jnp.asarray(0.03, dtype), bs, bm, bc,
-                               prices, keys, n_starts=3)
+    if dtype_name == "mixed":
+        def go():
+            return calibrate_batch_mixed(spots, jnp.asarray(0.03, dtype), bs,
+                                         bm, bc, prices, keys, n_starts=3)
+    else:
+        def go():
+            return calibrate_batch(spots, jnp.asarray(0.03, dtype), bs, bm,
+                                   bc, prices, keys, n_starts=3)
 
     t0 = time.time()
     out = jax.block_until_ready(go())        # compile + first run
@@ -98,7 +103,7 @@ def run(dtype_name):
 
 
 def main():
-    r = run("float32")
+    r = run("mixed")
     if r["mean_error_pct"] > TARGET_ERR_PCT:
         r = run("float64")
     value = r["per_surface_s"]

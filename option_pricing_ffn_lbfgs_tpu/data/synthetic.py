@@ -78,20 +78,19 @@ def _surface_grid(config: GeneratorConfig, dtype):
     return jnp.asarray(rel, dtype), jnp.asarray(mats, dtype)
 
 
-def generate_dataset(key, config: GeneratorConfig = GeneratorConfig(),
-                     dtype=jnp.float64, n_terms: int = 128) -> SyntheticDataset:
-    """Generate the full synthetic history in one jitted lax.scan."""
-    rel, mats = _surface_grid(config, dtype)
+def sample_paths(key, config: GeneratorConfig, dtype):
+    """The genuinely sequential part: AR(1) parameter paths + spot walk.
+
+    One lax.scan over days; pricing is deliberately kept out so the whole
+    price grid can be computed as one batched kernel afterwards.
+    """
     lo = jnp.asarray(RANGE_LO, dtype)
     hi = jnp.asarray(RANGE_HI, dtype)
     alpha = jnp.asarray(config.ar_alpha, dtype)
-    rate = jnp.asarray(config.surface.rate, dtype)
-    n_opt = rel.shape[0]
 
-    def step(carry, inp):
+    def step(carry, k):
         prev_params, prev_spot, is_first = carry
-        k = inp
-        k_param, k_spot, k_noise = jax.random.split(k, 3)
+        k_param, k_spot = jax.random.split(k)
         raw = jax.random.uniform(k_param, (13,), dtype, lo, hi)
         params = jnp.where(is_first, raw,
                            alpha * prev_params + (1.0 - alpha) * raw)
@@ -99,23 +98,49 @@ def generate_dataset(key, config: GeneratorConfig = GeneratorConfig(),
                + config.spot_drift)
         spot = jnp.where(is_first, jnp.asarray(config.surface.spot, dtype),
                          prev_spot * (1.0 + ret))
-        strikes = rel * spot / 100.0
-        model = price_options(DHParams.from_vector(params), spot, rate,
-                              strikes, mats, jnp.ones(n_opt, bool),
-                              n_terms=n_terms)
-        noise = jax.random.normal(k_noise, (n_opt,), dtype) * config.market_noise
-        market = model * (1.0 + noise)
-        rel_err = (model - market) / market
-        loss = jnp.mean(rel_err * rel_err)
-        out = (params, spot, strikes, model, market, loss)
-        return (params, spot, jnp.asarray(False)), out
+        return (params, spot, jnp.asarray(False)), (params, spot)
 
     keys = jax.random.split(key, config.n_samples)
     init = (jnp.zeros(13, dtype), jnp.asarray(config.surface.spot, dtype),
             jnp.asarray(True))
-    _, (params, spots, strikes, model, market, losses) = jax.lax.scan(
-        step, init, keys)
+    _, (params, spots) = jax.lax.scan(step, init, keys)
+    return params, spots
+
+
+def generate_dataset(key, config: GeneratorConfig = GeneratorConfig(),
+                     dtype=jnp.float64, n_terms: int = 128,
+                     use_pallas: bool = False) -> SyntheticDataset:
+    """Generate the full synthetic history on device.
+
+    Phase 1: lax.scan for the AR(1)/spot time series (sequential).
+    Phase 2: one batched COS pricing of all n_samples x 15 options — the
+    fused Pallas kernel when ``use_pallas`` (float32 fast path), else the
+    vmapped XLA pricer at ``dtype`` precision.
+    """
+    rel, mats = _surface_grid(config, dtype)
+    rate = jnp.asarray(config.surface.rate, dtype)
+    n_opt = rel.shape[0]
+    key_path, key_noise = jax.random.split(key)
+    params, spots = sample_paths(key_path, config, dtype)
+    strikes = spots[:, None] * rel[None, :] / 100.0
     b_mats = jnp.broadcast_to(mats, strikes.shape)
+    is_call = jnp.ones(strikes.shape, bool)
+    if use_pallas:
+        from ..ops.cos_pallas import price_surfaces_pallas
+        model = price_surfaces_pallas(params, spots, config.surface.rate,
+                                      strikes, b_mats, is_call,
+                                      n_terms=n_terms).astype(dtype)
+    else:
+        model = jax.vmap(
+            lambda p, s, k, m: price_options(
+                DHParams.from_vector(p), s, rate, k, m,
+                jnp.ones(n_opt, bool), n_terms=n_terms))(
+            params, spots, strikes, b_mats)
+    noise = (jax.random.normal(key_noise, model.shape, dtype)
+             * config.market_noise)
+    market = model * (1.0 + noise)
+    rel_err = (model - market) / market
+    losses = jnp.mean(rel_err * rel_err, axis=-1)
     return SyntheticDataset(params=params, spots=spots, strikes=strikes,
                             maturities=b_mats, model_prices=model,
                             market_prices=market, losses=losses)

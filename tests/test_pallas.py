@@ -1,0 +1,78 @@
+"""Pallas fused pricing kernel vs the jnp oracle (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
+    DHParams, price_options)
+from option_pricing_ffn_lbfgs_tpu.ops.cos_pallas import price_surfaces_pallas
+
+
+def _problem(b, n_strikes=5, seed=0, mixed_types=False):
+    rng = np.random.default_rng(seed)
+    base = np.array([0.04, 2.5, 0.04, 0.3, -0.7, 0.04, 0.8, 0.04, 0.2, -0.5,
+                     0.15, -0.04, 0.08])
+    params = jnp.asarray(base * (1 + rng.uniform(-0.1, 0.1, (b, 13))),
+                         jnp.float32)
+    spots = jnp.asarray(100.0 + rng.uniform(-3, 3, b), jnp.float32)
+    ks = np.linspace(90, 110, n_strikes)
+    strikes = jnp.asarray(np.tile(np.tile(ks, 3), (b, 1)), jnp.float32)
+    mats = jnp.asarray(np.tile(np.repeat([0.25, 0.5, 1.0], n_strikes),
+                               (b, 1)), jnp.float32)
+    ic = np.ones((b, 3 * n_strikes), bool)
+    if mixed_types:
+        ic[:, ::3] = False
+    return params, spots, strikes, mats, jnp.asarray(ic)
+
+
+def _oracle(params, spots, strikes, mats, ic):
+    return jax.vmap(lambda p, s, k, m, c: price_options(
+        DHParams.from_vector(p), s, 0.03, k, m, c))(
+        params, spots, strikes, mats, ic)
+
+
+@pytest.mark.parametrize("b", [1, 5, 8, 17])
+def test_matches_oracle(b):
+    args = _problem(b)
+    out = price_surfaces_pallas(*args[:2], 0.03, *args[2:], interpret=True)
+    ref = _oracle(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=8e-5)
+
+
+def test_mixed_call_put():
+    args = _problem(4, mixed_types=True)
+    out = price_surfaces_pallas(*args[:2], 0.03, *args[2:], interpret=True)
+    ref = _oracle(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=8e-5)
+
+
+def test_unaligned_option_count():
+    """n_opt = 9 (not a sublane multiple) exercises padding/masking."""
+    args = _problem(3, n_strikes=3)
+    assert args[2].shape[1] == 9
+    out = price_surfaces_pallas(*args[:2], 0.03, *args[2:], interpret=True)
+    ref = _oracle(*args)
+    assert out.shape == (3, 9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=8e-5)
+
+
+def test_generator_pallas_path():
+    """generate_dataset(use_pallas=True) agrees with the jnp path at f32."""
+    from option_pricing_ffn_lbfgs_tpu.data.synthetic import generate_dataset
+    from option_pricing_ffn_lbfgs_tpu.utils.config import GeneratorConfig
+    cfg = GeneratorConfig(n_samples=6)
+    import unittest.mock as mock
+    from option_pricing_ffn_lbfgs_tpu.ops import cos_pallas
+    orig = cos_pallas.price_surfaces_pallas
+    with mock.patch.object(
+            cos_pallas, "price_surfaces_pallas",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})):
+        fast = generate_dataset(jax.random.key(2), cfg, dtype=jnp.float32,
+                                use_pallas=True)
+    slow = generate_dataset(jax.random.key(2), cfg, dtype=jnp.float32,
+                            use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fast.model_prices),
+                               np.asarray(slow.model_prices), rtol=8e-5)
+    np.testing.assert_array_equal(np.asarray(fast.params),
+                                  np.asarray(slow.params))
