@@ -1,0 +1,84 @@
+"""Throughput scaling benchmark: surfaces/sec vs batch size on one chip.
+
+Complements bench.py (which measures the reference's 5-surface protocol).
+Sweeps the surface-batch size for the f32 fast path and the mixed-precision
+path, printing a JSON line per config:
+  {"batch": B, "mode": "f32"|"mixed", "surfaces_per_s": ..., "ms_per_surface": ...}
+
+Usage: python bench_scaling.py [--batches 8,64,256,1024] [--modes f32,mixed]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build(b, dtype):
+    import jax
+    import jax.numpy as jnp
+    from option_pricing_ffn_lbfgs_tpu.data.synthetic import sample_paths
+    from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
+        DHParams, price_options)
+    from option_pricing_ffn_lbfgs_tpu.utils.config import GeneratorConfig
+
+    cfg = GeneratorConfig(n_samples=b)
+    params, spots = sample_paths(jax.random.key(7), cfg, dtype)
+    strikes = spots[:, None] * jnp.asarray(
+        np.tile([90.0, 95.0, 100.0, 105.0, 110.0], 3), dtype)[None, :] / 100.0
+    mats = jnp.broadcast_to(
+        jnp.asarray(np.repeat([0.25, 0.5, 1.0], 5), dtype), strikes.shape)
+    is_call = jnp.ones_like(strikes, bool)
+    prices = jax.vmap(lambda p, s, k, m: price_options(
+        DHParams.from_vector(p), s, 0.03, k, m, jnp.ones(15, bool)))(
+        params, spots, strikes, mats)
+    keys = jax.random.split(jax.random.key(1), b)
+    return spots, strikes, mats, is_call, prices, keys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="8,64,256,1024")
+    ap.add_argument("--modes", default="f32,mixed")
+    ap.add_argument("--starts", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    modes = args.modes.split(",")
+    if "mixed" in modes:
+        jax.config.update("jax_enable_x64", True)
+    from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
+        calibrate_batch, calibrate_batch_mixed)
+
+    results = []
+    for b in [int(x) for x in args.batches.split(",")]:
+        for mode in modes:
+            dtype = jnp.float32 if mode == "f32" else (
+                jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+            spots, strikes, mats, is_call, prices, keys = build(b, dtype)
+            if mode == "f32":
+                go = lambda: calibrate_batch(
+                    spots, jnp.asarray(0.03, dtype), strikes, mats, is_call,
+                    prices, keys, n_starts=args.starts)
+            else:
+                go = lambda: calibrate_batch_mixed(
+                    spots, jnp.asarray(0.03, dtype), strikes, mats, is_call,
+                    prices, keys, n_starts=args.starts)
+            out = jax.block_until_ready(go())     # compile
+            t0 = time.time()
+            out = jax.block_until_ready(go())
+            dt_s = time.time() - t0
+            rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
+                         / np.asarray(prices)).mean() * 100
+            row = {"batch": b, "mode": mode,
+                   "surfaces_per_s": round(b / dt_s, 1),
+                   "ms_per_surface": round(dt_s / b * 1e3, 4),
+                   "mean_error_pct": round(float(rel), 5)}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

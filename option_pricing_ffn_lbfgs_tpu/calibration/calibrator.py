@@ -132,7 +132,17 @@ def _polish_core(spot, rate, strikes, maturities, is_call, market_prices,
 POLISH_LBFGS = LBFGSConfig(maxiter=60, ftol=1e-14, gtol=1e-10)
 
 
-@partial(jax.jit, static_argnames=("config", "n_starts", "polish"))
+@partial(jax.jit, static_argnames=("config", "polish"))
+def _polish_batch(spots, rate, strikes, maturities, is_call, market_prices,
+                  x0, config: CalibrationConfig, polish: LBFGSConfig):
+    def one(spot, k, m, c, p, x):
+        res, params_vec, model = _polish_core(
+            spot, rate, k, m, c, p, x, config, polish)
+        return res, params_vec, model
+    return jax.vmap(one)(spots, strikes, maturities, is_call, market_prices,
+                         x0)
+
+
 def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
                           market_prices, keys,
                           config: CalibrationConfig = CalibrationConfig(),
@@ -148,25 +158,27 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
     hard nonconvex part in f32; phase 2 polishes the single winner in f64
     for a few dozen iterations. Net: f64-grade accuracy at nearly-f32 cost.
 
+    Deliberately TWO device dispatches (f32 program + f64 program): fusing
+    both phases into one jit makes the XLA:TPU f64-emulation compile blow
+    up from minutes to >35 min, while the extra dispatch costs ~ms.
+
     Requires jax_enable_x64 for a true f64 polish; without it the polish
     simply reruns in f32 (still a valid refinement).
     """
     f32 = jnp.float32
-    def one(spot, k, m, c, p, ky):
-        out32 = _calibrate_core(
-            jnp.asarray(spot, f32), jnp.asarray(rate, f32),
-            jnp.asarray(k, f32), jnp.asarray(m, f32), c,
-            jnp.asarray(p, f32), ky, config, n_starts)
-        res, params_vec, model = _polish_core(
-            spot, rate, k, m, c, p, out32.x, config, polish)
-        return BatchCalibration(
-            x=res.x, params=params_vec, loss=res.f, model_prices=model,
-            iterations=out32.iterations + res.n_iters,
-            n_evals=out32.n_evals + res.n_evals,
-            converged=res.converged | out32.converged,
-            per_start_loss=out32.per_start_loss)
-    return jax.vmap(one)(spots, strikes, maturities, is_call, market_prices,
-                         keys)
+    out32 = calibrate_batch(
+        jnp.asarray(spots, f32), jnp.asarray(rate, f32),
+        jnp.asarray(strikes, f32), jnp.asarray(maturities, f32), is_call,
+        jnp.asarray(market_prices, f32), keys, config, n_starts)
+    res, params_vec, model = _polish_batch(
+        spots, rate, strikes, maturities, is_call, market_prices, out32.x,
+        config, polish)
+    return BatchCalibration(
+        x=res.x, params=params_vec, loss=res.f, model_prices=model,
+        iterations=out32.iterations + res.n_iters,
+        n_evals=out32.n_evals + res.n_evals,
+        converged=res.converged | out32.converged,
+        per_start_loss=out32.per_start_loss)
 
 
 def options_to_arrays(market_options: List[Dict], dtype=np.float64):

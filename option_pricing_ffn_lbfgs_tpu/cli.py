@@ -161,6 +161,39 @@ def cmd_train(args):
     return 0
 
 
+def cmd_compare(args):
+    """Three-method comparison producing the reference results artifacts."""
+    import jax
+    from .compare import run_comparison
+    from .data.synthetic import generate_dataset, load_dataset
+    from .surrogate.train import load_surrogate, dataset_to_xy, fit, TrainConfig
+    from .utils.config import GeneratorConfig
+    if args.data:
+        ds = load_dataset(args.data)
+    else:
+        ds = generate_dataset(jax.random.key(args.seed),
+                              GeneratorConfig(n_samples=max(args.n_eval, 300)))
+    if args.surrogate:
+        surrogate = load_surrogate(args.surrogate)
+    else:
+        print("no --surrogate given; quick-training one on the dataset...")
+        fx, fy = dataset_to_xy(ds)
+        surrogate, _ = fit(fx, fy, TrainConfig(max_epochs=60, patience=20,
+                                               batch_size=64))
+    payload = run_comparison(ds, surrogate, n_eval=args.n_eval,
+                             out_dir=args.out_dir)
+    print(json.dumps({
+        "ffn_mean_error_pct": payload["ffn"]["mean_error"],
+        "lbfgs_mean_error_pct": payload["lbfgs"]["statistics"]["mean_error"],
+        "hybrid_mean_error_pct": payload["hybrid"]["statistics"]["mean_error"],
+        "ffn_mean_time_s": payload["ffn"]["mean_time"],
+        "lbfgs_mean_time_s": payload["lbfgs"]["statistics"]["mean_time"],
+        "hybrid_mean_time_s": payload["hybrid"]["statistics"]["mean_time"],
+    }, indent=2))
+    print(f"artifacts written to {args.out_dir}")
+    return 0
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="option_pricing_ffn_lbfgs_tpu")
     p.add_argument("--f64", action="store_true",
@@ -191,6 +224,13 @@ def build_parser():
     b.add_argument("--seed", type=int, default=2026)
     b.add_argument("--out", default="benchmark_results.json")
 
+    cp = sub.add_parser("compare", help="FFN vs L-BFGS vs hybrid comparison")
+    cp.add_argument("--data", help="dataset (.pkl/.npz); generated if absent")
+    cp.add_argument("--surrogate", help="trained surrogate (.pkl)")
+    cp.add_argument("--n-eval", type=int, default=5)
+    cp.add_argument("--seed", type=int, default=0)
+    cp.add_argument("--out-dir", default="results")
+
     t = sub.add_parser("train", help="train the FFN surrogate")
     t.add_argument("--pretrain", help="pretraining dataset (.pkl/.npz)")
     t.add_argument("--finetune", help="fine-tuning dataset (.pkl/.npz)")
@@ -209,7 +249,7 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     return {"demo": cmd_demo, "generate": cmd_generate,
             "calibrate": cmd_calibrate, "benchmark": cmd_benchmark,
-            "train": cmd_train}[args.cmd](args)
+            "train": cmd_train, "compare": cmd_compare}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,125 @@
+"""Method-comparison driver: FFN-only vs pure L-BFGS vs hybrid.
+
+Re-creates the reference's unshipped benchmark driver — the one that
+produced results/lbfgs_actual_results.json, results/hybrid_actual_results.json
+and results/COMPARISON_TABLE.txt (SURVEY.md §2.4) — on-device and batched.
+
+Protocol: for each evaluation surface, calibrate against its noiseless
+model prices (the achievable-precision protocol implied by the reference's
+0.0236% numbers) with:
+  * FFN-only screening (one forward pass);
+  * pure multi-start L-BFGS (mixed precision f32 solve + f64 polish);
+  * hybrid FFN warm start + maxiter=10 refinement.
+Writes the reference JSON schemas + ASCII comparison table.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .calibration.calibrator import calibrate_batch_mixed
+from .data.synthetic import SyntheticDataset
+from .models.double_heston import DHParams, price_options
+from .surrogate.hybrid import hybrid_calibrate
+from .surrogate.train import TrainedSurrogate
+from .utils.config import CalibrationConfig
+from .utils.results import summarize, write_comparison_table
+
+
+def _mean_err_pct(model, market):
+    rel = np.abs((np.asarray(model) - np.asarray(market))
+                 / np.asarray(market))
+    return rel.mean(axis=-1) * 100.0
+
+
+def run_comparison(ds: SyntheticDataset, surrogate: TrainedSurrogate,
+                   n_eval: int = 5, rate: float = 0.03,
+                   config: CalibrationConfig = CalibrationConfig(),
+                   out_dir: Optional[str] = None) -> dict:
+    """Run the three-method comparison on the first ``n_eval`` surfaces."""
+    n = min(n_eval, ds.n_samples)
+    market = ds.model_prices[:n]          # noiseless protocol
+    spots = ds.spots[:n]
+    strikes = ds.strikes[:n]
+    mats = ds.maturities[:n]
+    is_call = jnp.ones_like(strikes, bool)
+    keys = jax.random.split(jax.random.key(0), n)
+
+    # --- FFN-only ---
+    def ffn_prices():
+        pvec = surrogate.predict_params(market, spots)
+        return jax.vmap(lambda p, s, k, m: price_options(
+            DHParams.from_vector(p), s, rate, k, m,
+            jnp.ones(k.shape[-1], bool)))(jnp.asarray(pvec), spots, strikes,
+                                          mats)
+    jax.block_until_ready(ffn_prices())          # warmup/compile
+    t0 = time.time()
+    ffn_model = jax.block_until_ready(ffn_prices())
+    ffn_time = (time.time() - t0) / n
+    ffn_errors = _mean_err_pct(ffn_model, market)
+
+    # --- pure L-BFGS (mixed precision) ---
+    run_lbfgs = lambda: calibrate_batch_mixed(
+        spots, jnp.asarray(rate, market.dtype), strikes, mats, is_call,
+        market, keys, config)
+    jax.block_until_ready(run_lbfgs())
+    t0 = time.time()
+    lbfgs_out = jax.block_until_ready(run_lbfgs())
+    lbfgs_time = (time.time() - t0) / n
+    lbfgs_errors = _mean_err_pct(lbfgs_out.model_prices, market)
+
+    # --- hybrid (FFN warm start + short refine) ---
+    def run_hybrid():
+        return jax.vmap(lambda s, k, m, p: hybrid_calibrate(
+            surrogate, s, rate, k, m, jnp.ones(k.shape[-1], bool), p,
+            config, refine_maxiter=10))(spots, strikes, mats, market)
+    jax.block_until_ready(run_hybrid())
+    t0 = time.time()
+    hybrid_out = jax.block_until_ready(run_hybrid())
+    hybrid_total_time = (time.time() - t0) / n
+    hybrid_errors = _mean_err_pct(hybrid_out.model_prices, market)
+
+    payload = {
+        "lbfgs": summarize(lbfgs_errors, [lbfgs_time] * n,
+                           np.asarray(lbfgs_out.iterations),
+                           np.asarray(lbfgs_out.converged)),
+        "hybrid": {
+            "pricing_errors": hybrid_errors.tolist(),
+            "ffn_times": [ffn_time] * n,
+            "lbfgs_times": [hybrid_total_time - ffn_time] * n,
+            "total_times": [hybrid_total_time] * n,
+            "ffn_errors": ffn_errors.tolist(),
+            "improvements": (100.0 * (1.0 - hybrid_errors / ffn_errors)).tolist(),
+            "statistics": {
+                "mean_error": float(hybrid_errors.mean()),
+                "std_error": float(hybrid_errors.std()),
+                "mean_time": hybrid_total_time,
+            },
+        },
+        "ffn": {"mean_error": float(ffn_errors.mean()),
+                "mean_time": ffn_time},
+    }
+
+    if out_dir:
+        import json
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "lbfgs_actual_results.json"), "w") as f:
+            json.dump(payload["lbfgs"], f, indent=2)
+        with open(os.path.join(out_dir, "hybrid_actual_results.json"), "w") as f:
+            json.dump(payload["hybrid"], f, indent=2)
+        write_comparison_table(
+            os.path.join(out_dir, "COMPARISON_TABLE.txt"),
+            [dict(name="FFN-Only", mean_error_pct=float(ffn_errors.mean()),
+                  mean_time_s=ffn_time, samples=n),
+             dict(name="Pure L-BFGS",
+                  mean_error_pct=float(lbfgs_errors.mean()),
+                  mean_time_s=lbfgs_time, samples=n),
+             dict(name="Hybrid (FFN->L-BFGS)",
+                  mean_error_pct=float(hybrid_errors.mean()),
+                  mean_time_s=hybrid_total_time, samples=n)])
+    return payload

@@ -1,0 +1,60 @@
+"""Mixed-precision (f32 solve + f64 polish) batch calibration tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
+    POLISH_LBFGS, calibrate_batch, calibrate_batch_mixed)
+from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
+    DHParams, price_options)
+from tests.conftest import TRUE
+
+
+@pytest.fixture(scope="module")
+def batch3(surface15):
+    strikes, mats, is_call = surface15
+    rng = np.random.default_rng(5)
+    base = np.array([TRUE[k] for k in DHParams._fields])
+    vecs = jnp.asarray(base * (1.0 + rng.uniform(-0.05, 0.05, (3, 13))))
+    spots = jnp.full(3, 100.0)
+    prices = jax.vmap(lambda s, v: price_options(
+        DHParams.from_vector(v), s, 0.03, strikes, mats, is_call))(spots, vecs)
+    return (spots, jnp.broadcast_to(strikes, (3, 15)),
+            jnp.broadcast_to(mats, (3, 15)),
+            jnp.broadcast_to(is_call, (3, 15)), prices,
+            jax.random.split(jax.random.key(1), 3))
+
+
+def test_mixed_beats_f32(batch3):
+    spots, bs, bm, bc, prices, keys = batch3
+    mixed = calibrate_batch_mixed(spots, 0.03, bs, bm, bc, prices, keys)
+    f32 = calibrate_batch(
+        jnp.asarray(spots, jnp.float32), jnp.float32(0.03),
+        jnp.asarray(bs, jnp.float32), jnp.asarray(bm, jnp.float32), bc,
+        jnp.asarray(prices, jnp.float32), keys)
+    assert mixed.x.dtype == jnp.float64       # x64 enabled in tests
+    rel_mixed = np.abs((np.asarray(mixed.model_prices) - np.asarray(prices))
+                       / np.asarray(prices)).mean()
+    rel_f32 = np.abs((np.asarray(f32.model_prices, np.float64)
+                      - np.asarray(prices))
+                     / np.asarray(prices)).mean()
+    assert rel_mixed < rel_f32
+    assert rel_mixed * 100 < 0.03             # north-star accuracy bar
+
+
+def test_polish_monotone(batch3):
+    """The f64 polish never worsens the (f64-evaluated) objective."""
+    spots, bs, bm, bc, prices, keys = batch3
+    mixed = calibrate_batch_mixed(spots, 0.03, bs, bm, bc, prices, keys)
+    # mixed.per_start_loss are the f32 finals; the polished f64 loss should
+    # be no worse than the best f32 start's loss (up to f32->f64 re-eval).
+    best32 = np.asarray(mixed.per_start_loss).min(axis=-1)
+    assert np.all(np.asarray(mixed.loss) <= best32 + 1e-6)
+
+
+def test_iterations_accumulate(batch3):
+    spots, bs, bm, bc, prices, keys = batch3
+    mixed = calibrate_batch_mixed(spots, 0.03, bs, bm, bc, prices, keys)
+    assert np.all(np.asarray(mixed.iterations) >= 1)
+    assert np.all(np.asarray(mixed.n_evals) > np.asarray(mixed.iterations))
