@@ -10,7 +10,8 @@ from option_pricing_ffn_lbfgs_tpu.compare import run_comparison
 from option_pricing_ffn_lbfgs_tpu.data.synthetic import generate_dataset
 from option_pricing_ffn_lbfgs_tpu.surrogate.train import (
     TrainConfig, dataset_to_xy, fit)
-from option_pricing_ffn_lbfgs_tpu.utils.config import GeneratorConfig
+from option_pricing_ffn_lbfgs_tpu.utils.config import (
+    CalibrationConfig, GeneratorConfig, LBFGSConfig, PricerConfig)
 
 
 @pytest.fixture(scope="module")
@@ -26,7 +27,12 @@ def setup():
 def test_comparison_artifacts(setup, tmp_path):
     ds, surrogate = setup
     out_dir = str(tmp_path / "results")
-    payload = run_comparison(ds, surrogate, n_eval=3, out_dir=out_dir)
+    # Small-but-real config keeps this CPU test fast; the full-size run is
+    # the TPU compare CLI (results/ artifacts).
+    cfg = CalibrationConfig(pricer=PricerConfig(n_terms=64),
+                            lbfgs=LBFGSConfig(maxiter=120))
+    payload = run_comparison(ds, surrogate, n_eval=3, config=cfg,
+                             out_dir=out_dir)
     # artifacts exist with the reference schemas
     with open(os.path.join(out_dir, "lbfgs_actual_results.json")) as f:
         lbfgs = json.load(f)
