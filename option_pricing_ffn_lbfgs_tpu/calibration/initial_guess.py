@@ -68,10 +68,18 @@ def initial_guesses(n_starts, key, spot, strikes, maturities, market_prices,
     def one_start(i, k):
         scale = jnp.where(narrow, 0.15, 0.20)
         noise = jax.random.uniform(k, (13,), dtype, -1.0, 1.0) * scale
-        g1 = g0 * (1.0 + noise)
-        g1 = jnp.where(rho_m, jnp.clip(g1, -0.95, -0.3), g1)
         gt = jnp.mod(i, 3)
-        params = jnp.where(gt == 0, g0, jnp.where(gt == 1, g1, g2))
+        base = jnp.where(gt == 2, g2, g0)
+        # Starts 0-2 are exactly the reference's three families (types 0/2
+        # deterministic, type 1 perturbed). Starts beyond 3 would otherwise
+        # DUPLICATE the deterministic families, so they get the type-1 style
+        # perturbation applied to their family's base vector — every extra
+        # vmapped start is a genuinely new basin probe.
+        noisy = (gt == 1) | (i >= 3)
+        perturbed = base * (1.0 + noise)
+        perturbed = jnp.where(rho_m, jnp.clip(perturbed, -0.95, -0.3),
+                              perturbed)
+        params = jnp.where(noisy, perturbed, base)
         return inverse_transform(params)
 
     keys = jax.random.split(key, n_starts)

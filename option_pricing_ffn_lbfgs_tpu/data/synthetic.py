@@ -44,6 +44,26 @@ RANGE_LO = np.array([PARAM_RANGES[n][0] for n in PARAM_NAMES])
 RANGE_HI = np.array([PARAM_RANGES[n][1] for n in PARAM_NAMES])
 
 
+def enforce_feller(params, margin: float = 0.90):
+    """Cap sigma_i at margin*sqrt(2*kappa_i*theta_i) (vector form, idx
+    order = PARAM_NAMES).
+
+    The reference's ranges (synthetic_generator.py:75-89) allow draws that
+    violate the Feller condition; its calibrator then penalizes the true
+    parameters with weight 1000 (lbfgs_calibrator.py:111-116), making them
+    unrecoverable — measured: such surfaces stall at ~1% pricing error no
+    matter the optimizer. Capping keeps ground truth inside the model class
+    the loss actually admits; margin 0.90 keeps it clear of the penalty's
+    gradient kink. Given the ranges, the cap never pushes sigma below its
+    own lower bound (worst case 0.25 > 0.20 and 0.110 > 0.10).
+    """
+    sig1_max = margin * jnp.sqrt(2.0 * params[..., 1] * params[..., 2])
+    sig2_max = margin * jnp.sqrt(2.0 * params[..., 6] * params[..., 7])
+    params = params.at[..., 3].set(jnp.minimum(params[..., 3], sig1_max))
+    params = params.at[..., 8].set(jnp.minimum(params[..., 8], sig2_max))
+    return params
+
+
 class SyntheticDataset(NamedTuple):
     """Structure-of-arrays synthetic calibration history (device arrays)."""
     params: jnp.ndarray         # [n, 13] ground-truth parameters
@@ -94,6 +114,8 @@ def sample_paths(key, config: GeneratorConfig, dtype):
         raw = jax.random.uniform(k_param, (13,), dtype, lo, hi)
         params = jnp.where(is_first, raw,
                            alpha * prev_params + (1.0 - alpha) * raw)
+        if config.enforce_feller:
+            params = enforce_feller(params)
         ret = (jax.random.normal(k_spot, (), dtype) * config.spot_vol
                + config.spot_drift)
         spot = jnp.where(is_first, jnp.asarray(config.surface.spot, dtype),

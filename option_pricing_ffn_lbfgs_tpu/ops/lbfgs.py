@@ -52,6 +52,7 @@ class _State(NamedTuple):
     gamma: jnp.ndarray      # H0 scaling
     n_iters: jnp.ndarray
     n_evals: jnp.ndarray
+    n_fail: jnp.ndarray     # int32, consecutive line-search failures
     done: jnp.ndarray       # bool
     converged: jnp.ndarray  # bool
 
@@ -161,7 +162,11 @@ def _wolfe_line_search(vg_fn, x0, f0, g0, direction, cfg: LBFGSConfig,
                 n_evals=n_evals, ok=st.ok | accept)
 
         def zooming(st):
-            # Alg 3.6 with bisection trial points.
+            # Alg 3.6; trial points by safeguarded quadratic interpolation
+            # (parabola through (alpha, f, dg) and (a_lo, f_lo)), falling
+            # back to bisection — cuts probe counts vs pure bisection when
+            # the acceptable window is narrow (e.g. near the Feller-penalty
+            # kink).
             accept = wolfe_ok
             shrink_hi = armijo_fail | (f >= st.f_lo)
             # not shrink_hi: alpha becomes new lo; maybe flip hi to old lo
@@ -172,8 +177,20 @@ def _wolfe_line_search(vg_fn, x0, f0, g0, direction, cfg: LBFGSConfig,
             interval_dead = jnp.abs(a_hi - a_lo) * jnp.maximum(jnp.abs(dg0), 1.0) < 1e-14
             new_stage = jnp.where(accept | interval_dead, jnp.int32(2),
                                   jnp.int32(1))
+            span = a_lo - st.alpha
+            denom = jnp.where(jnp.abs(span) > 1e-30, span, 1.0)
+            curv = (f_lo - f - dg * span) / (denom * denom)
+            t_interp = st.alpha - dg / (2.0 * jnp.maximum(curv, 1e-30))
+            lo_b = jnp.minimum(a_lo, a_hi)
+            hi_b = jnp.maximum(a_lo, a_hi)
+            width = hi_b - lo_b
+            interp_ok = ((curv > 0) & jnp.isfinite(t_interp)
+                         & (t_interp > lo_b + 0.1 * width)
+                         & (t_interp < hi_b - 0.1 * width))
+            next_alpha = jnp.where(interp_ok, t_interp,
+                                   0.5 * (a_lo + a_hi))
             return st._replace(
-                stage=new_stage, alpha=0.5 * (a_lo + a_hi),
+                stage=new_stage, alpha=next_alpha,
                 a_lo=a_lo, a_hi=a_hi, f_lo=f_lo,
                 a_star=jnp.where(accept, st.alpha, st.a_star),
                 f_star=jnp.where(accept, f, st.f_star),
@@ -182,8 +199,12 @@ def _wolfe_line_search(vg_fn, x0, f0, g0, direction, cfg: LBFGSConfig,
                 n_evals=n_evals, ok=st.ok | accept)
 
         st2 = jax.lax.cond(st.stage == 0, bracketing, zooming, st)
-        # Track the best Armijo point seen as a fallback accept.
-        better_fallback = (~armijo_fail) & (f < st2.f_star) & (st2.stage != 2)
+        # Track the best improving point seen as a fallback accept. Armijo
+        # is NOT required here: near the Feller-penalty kink the acceptable
+        # Armijo window can be narrower than the probe resolution, and
+        # monotone progress beats terminating the whole solve (a bad
+        # curvature pair is rejected later by the sy > 0 history check).
+        better_fallback = (f < st2.f_star) & (st2.stage != 2)
         return st2._replace(
             a_star=jnp.where(better_fallback, st.alpha, st2.a_star),
             f_star=jnp.where(better_fallback, f, st2.f_star),
@@ -231,6 +252,7 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray,
         hist_len=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
         gamma=jnp.asarray(1.0, dt),
         n_iters=jnp.asarray(0, jnp.int32), n_evals=jnp.asarray(1, jnp.int32),
+        n_fail=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False), converged=jnp.asarray(False))
 
     gtol = jnp.asarray(config.gtol, dt)
@@ -283,7 +305,18 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray,
             jnp.maximum(jnp.abs(st.f), jnp.abs(f_new)), 1.0)
         ls_failed = ~ls.ok
         converged = gconv | (fconv & ls.ok)
-        done = converged | ls_failed | (n_iters >= config.maxiter)
+        # On line-search failure, reset the (s, y) memory and retry from
+        # steepest descent with the |g|-scaled first step (scipy L-BFGS-B
+        # similarly discards its memory on breakdown); terminate only after
+        # max_restarts consecutive failures. This rescues f32 solves whose
+        # Wolfe search stalls mid-run on a stale curvature model.
+        n_fail = jnp.where(ls.ok, jnp.asarray(0, jnp.int32), st.n_fail + 1)
+        give_up = n_fail > config.max_restarts
+        reset = ls_failed & ~give_up
+        hist_len = jnp.where(reset, 0, hist_len)
+        head = jnp.where(reset, 0, head)
+        gamma = jnp.where(reset, jnp.asarray(1.0, dt), gamma)
+        done = converged | give_up | (n_iters >= config.maxiter)
 
         # On line-search failure keep the previous point.
         keep = ls.ok
@@ -293,7 +326,7 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray,
             g=jnp.where(keep, g_new, st.g),
             s_hist=s_hist, y_hist=y_hist, rho_hist=rho_hist,
             hist_len=hist_len, head=head, gamma=gamma,
-            n_iters=n_iters, n_evals=n_evals,
+            n_iters=n_iters, n_evals=n_evals, n_fail=n_fail,
             done=done, converged=converged)
 
     final = jax.lax.while_loop(cond, body, init)

@@ -36,6 +36,10 @@ class LBFGSConfig:
     wolfe_c1: float = 1e-4
     wolfe_c2: float = 0.9
     max_linesearch: int = 20
+    # Consecutive line-search failures tolerated before terminating; each
+    # failure resets the (s, y) history and retries from steepest descent
+    # (scipy L-BFGS-B similarly discards memory on breakdown).
+    max_restarts: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,3 +76,8 @@ class GeneratorConfig:
     market_noise: float = 0.02           # multiplicative price noise
     start_date: str = "2022-01-03"
     surface: SurfaceSpec = SurfaceSpec()
+    # Cap sigma_i at 0.99*sqrt(2 kappa_i theta_i) so ground-truth params are
+    # recoverable under the Feller-penalized loss (the reference's raw
+    # ranges admit violating draws the calibrator then cannot reach; see
+    # data/synthetic.py::enforce_feller). False = raw reference semantics.
+    enforce_feller: bool = True

@@ -101,12 +101,18 @@ class TestInitialGuesses:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_guess_type_cycle(self, surface15, noiseless_market):
-        """Starts 0 and 3 are both guess-type 0 (idx % 3) and identical."""
+        """Starts 0-2 are the reference's three families; extra starts share
+        the family base (idx % 3) but are perturbed so every vmapped start
+        probes a distinct basin (start 3 must NOT duplicate start 0)."""
         strikes, mats, _ = surface15
         mkt = jnp.asarray(noiseless_market)
-        x = np.asarray(initial_guesses(4, jax.random.key(0), 100.0, strikes,
+        x = np.asarray(initial_guesses(7, jax.random.key(0), 100.0, strikes,
                                        mats, mkt))
-        np.testing.assert_allclose(x[0], x[3])
+        assert np.max(np.abs(x[3] - x[0])) > 1e-4    # perturbed, not a copy
+        assert np.max(np.abs(x[6] - x[3])) > 1e-4    # fresh noise each start
+        # but start 3 stays in family 0's neighborhood (+-20%-ish in
+        # constrained space -> bounded distance in unconstrained space)
+        assert np.max(np.abs(x[3] - x[0])) < 1.0
 
     def test_type1_rho_clipped(self, surface15, noiseless_market):
         from option_pricing_ffn_lbfgs_tpu.calibration.transforms import transform

@@ -32,6 +32,23 @@ def test_params_in_ranges(ds):
     assert np.all(p <= RANGE_HI + 1e-12)
 
 
+def test_feller_enforced(ds):
+    """Default generator produces recoverable (Feller-satisfying) truth."""
+    p = np.asarray(ds.params)
+    assert np.all(p[:, 3] ** 2 <= 2 * p[:, 1] * p[:, 2] + 1e-10)
+    assert np.all(p[:, 8] ** 2 <= 2 * p[:, 6] * p[:, 7] + 1e-10)
+
+
+def test_feller_raw_mode():
+    """enforce_feller=False reproduces the reference's raw draws (which can
+    violate Feller — synthetic_generator.py:75-89 has no such constraint)."""
+    import dataclasses
+    raw_cfg = dataclasses.replace(CFG, n_samples=60, enforce_feller=False)
+    raw = generate_dataset(jax.random.key(0), raw_cfg, n_terms=32)
+    p = np.asarray(raw.params)
+    assert np.any(p[:, 3] ** 2 > 2 * p[:, 1] * p[:, 2])  # violations exist
+
+
 def test_ar1_persistence(ds):
     """Day-over-day params are AR(1)-blended: successive days correlate."""
     p = np.asarray(ds.params)
