@@ -61,3 +61,30 @@ def test_float32():
                          LBFGSConfig(maxiter=400, ftol=1e-7, gtol=1e-4))
     assert res.x.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-2)
+
+
+def test_penalty_kink_crossed_en_route():
+    """Heavily-weighted hinge penalty (the calibrator's Feller term shape,
+    lbfgs_calibrator.py:111-116): the start is deep in the penalized region
+    and the solver must descend THROUGH the gradient discontinuity to the
+    smooth optimum inside the feasible region — the scenario the line-search
+    fallback + history-reset restarts exist for."""
+    def f(x):
+        smooth = jnp.sum((x - 0.2) ** 2)
+        return smooth + 1000.0 * jnp.maximum(0.0, x[0] - 0.3)
+    res = lbfgs_minimize(f, jnp.full(4, 2.0), LBFGSConfig(maxiter=200))
+    np.testing.assert_allclose(np.asarray(res.x), 0.2, atol=1e-4)
+
+
+def test_restart_counter_resets_on_success():
+    """A line-search failure mid-run triggers a history-reset restart and
+    optimization continues (n_iters well past the first failure)."""
+    def f(x):
+        # narrow curved valley + hinge wall: provokes occasional LS stalls
+        return (jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                        + (1.0 - x[:-1]) ** 2)
+                + 500.0 * jnp.maximum(0.0, x[0] - 0.9))
+    res = lbfgs_minimize(f, jnp.zeros(4), LBFGSConfig(maxiter=300))
+    assert np.isfinite(float(res.f))
+    # x0 pinned at the wall, others follow the valley
+    assert float(res.x[0]) <= 0.9 + 1e-6
