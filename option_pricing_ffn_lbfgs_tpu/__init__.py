@@ -28,6 +28,8 @@ from .calibration.loss import feller_penalty, make_loss_fn, surface_loss
 from .calibration.transforms import (
     inverse_transform, params_to_x, transform, transform_to_params)
 from .calibration.initial_guess import initial_guesses
+from .models.greeks import Greeks, greeks, param_sensitivities
+from .ops.black_scholes import bs_price, bs_vega, implied_vol
 from .ops.lbfgs import LBFGSResult, lbfgs_minimize
 from .parallel.mesh import make_mesh, distributed_init
 from .parallel.sharded import calibrate_sharded
@@ -40,7 +42,9 @@ from .data.synthetic import (
     to_calibration_results)
 from .surrogate.features import extract_features
 from .surrogate.ffn import SurrogateFFN, init_ffn
-from .surrogate.hybrid import HybridResult, ffn_only_predict, hybrid_calibrate
+from .surrogate.hybrid import (
+    HybridResult, ffn_only_predict, hybrid_calibrate,
+    hybrid_calibrate_batch_mixed)
 from .surrogate.train import (
     TrainedSurrogate, fit, load_surrogate, pretrain_and_finetune,
     save_surrogate)
@@ -55,6 +59,8 @@ __all__ = [
     "feller_penalty", "make_loss_fn", "surface_loss",
     "inverse_transform", "params_to_x", "transform", "transform_to_params",
     "initial_guesses",
+    "Greeks", "greeks", "param_sensitivities",
+    "bs_price", "bs_vega", "implied_vol",
     "LBFGSResult", "lbfgs_minimize",
     "make_mesh", "distributed_init", "calibrate_sharded",
     "CalibrationConfig", "GeneratorConfig", "LBFGSConfig", "PricerConfig",
@@ -64,6 +70,7 @@ __all__ = [
     "to_calibration_results",
     "extract_features", "SurrogateFFN", "init_ffn",
     "HybridResult", "ffn_only_predict", "hybrid_calibrate",
+    "hybrid_calibrate_batch_mixed",
     "TrainedSurrogate", "fit", "load_surrogate", "pretrain_and_finetune",
     "save_surrogate",
     "__version__",

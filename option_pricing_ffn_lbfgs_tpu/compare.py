@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from .calibration.calibrator import calibrate_batch_mixed
 from .data.synthetic import SyntheticDataset
 from .models.double_heston import DHParams, price_options
-from .surrogate.hybrid import hybrid_calibrate
+from .surrogate.hybrid import hybrid_calibrate_batch_mixed
 from .surrogate.train import TrainedSurrogate
 from .utils.config import CalibrationConfig
 from .utils.results import summarize, write_comparison_table
@@ -80,11 +80,11 @@ def run_comparison(ds: SyntheticDataset, surrogate: TrainedSurrogate,
     lbfgs_time = (time.time() - t0) / n
     lbfgs_errors = _mean_err_pct(lbfgs_out.model_prices, market)
 
-    # --- hybrid (FFN warm start + short refine) ---
+    # --- hybrid (FFN warm start + short f32 refine + f64 polish) ---
     def run_hybrid():
-        return jax.vmap(lambda s, k, m, p: hybrid_calibrate(
-            surrogate, s, rate, k, m, jnp.ones(k.shape[-1], bool), p,
-            config, refine_maxiter=10))(spots, strikes, mats, market)
+        return hybrid_calibrate_batch_mixed(
+            surrogate, spots, rate, strikes, mats, is_call, market, config,
+            refine_maxiter=10)
     jax.block_until_ready(run_hybrid())
     t0 = time.time()
     hybrid_out = jax.block_until_ready(run_hybrid())

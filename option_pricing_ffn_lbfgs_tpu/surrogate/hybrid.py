@@ -59,3 +59,46 @@ def hybrid_calibrate(surrogate: TrainedSurrogate, spot, rate, strikes,
     return HybridResult(x=res.x, params=params, loss=res.f,
                         model_prices=model, ffn_params=transform(x0),
                         ffn_loss=loss_fn(x0), iterations=res.n_iters)
+
+
+def hybrid_calibrate_batch_mixed(surrogate: TrainedSurrogate, spots, rate,
+                                 strikes, maturities, is_call, market_prices,
+                                 config: CalibrationConfig = CalibrationConfig(),
+                                 refine_maxiter: int = 10):
+    """Batch hybrid, TPU-native precision split: FFN warm start -> f32
+    L-BFGS refinement (maxiter=10, hardware speed) -> f64 polish of the
+    refined point (same polish phase as the pure mixed calibrator).
+
+    Running the documented maxiter=10 refinement in emulated f64 costs
+    ~0.95 s/surface on TPU; in f32 + polish it is ~ms at equal-or-better
+    accuracy. Returns a BatchCalibration (see calibration/calibrator.py).
+    """
+    import jax
+    from ..calibration.calibrator import (
+        BatchCalibration, POLISH_LBFGS, _polish_batch)
+    from ..ops.lbfgs import LBFGSResult  # noqa: F401 (doc pointer)
+
+    f32 = jnp.float32
+    x0 = jnp.asarray(surrogate.predict_x(market_prices, spots), f32)
+    cfg32 = dataclasses.replace(config.lbfgs, maxiter=refine_maxiter)
+
+    @jax.jit
+    def refine(spots32, strikes32, mats32, calls, prices32, x0):
+        def one(s, k, m, c, p, x):
+            loss_fn = make_loss_fn(s, jnp.asarray(rate, f32), k, m, c, p,
+                                   config)
+            return lbfgs_minimize(loss_fn, x, cfg32)
+        return jax.vmap(one)(spots32, strikes32, mats32, calls, prices32, x0)
+
+    res32 = refine(jnp.asarray(spots, f32), jnp.asarray(strikes, f32),
+                   jnp.asarray(maturities, f32), jnp.asarray(is_call),
+                   jnp.asarray(market_prices, f32), x0)
+    res, params_vec, model = _polish_batch(
+        spots, rate, strikes, maturities, is_call, market_prices, res32.x,
+        config, POLISH_LBFGS)
+    return BatchCalibration(
+        x=res.x, params=params_vec, loss=res.f, model_prices=model,
+        iterations=res32.n_iters + res.n_iters,
+        n_evals=res32.n_evals + res.n_evals,
+        converged=res.converged | res32.converged,
+        per_start_loss=res32.f[:, None])

@@ -11,7 +11,7 @@ from option_pricing_ffn_lbfgs_tpu.surrogate.features import (
 from option_pricing_ffn_lbfgs_tpu.surrogate.ffn import (
     N_PARAMS, SurrogateFFN, count_params, init_ffn)
 from option_pricing_ffn_lbfgs_tpu.surrogate.hybrid import (
-    ffn_only_predict, hybrid_calibrate)
+    ffn_only_predict, hybrid_calibrate, hybrid_calibrate_batch_mixed)
 from option_pricing_ffn_lbfgs_tpu.surrogate.scalers import (
     StandardScaler, load_scalers, save_scalers)
 from option_pricing_ffn_lbfgs_tpu.surrogate.train import (
@@ -175,6 +175,35 @@ class TestHybrid:
         p = ffn_only_predict(surrogate, small_ds.market_prices[3],
                              small_ds.spots[3])
         assert p.shape == (13,)
+
+    def test_hybrid_batch_mixed(self, trained, small_ds):
+        """f32 refine + f64 polish beats the raw FFN prediction on pricing
+        error for every surface in the batch."""
+        from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
+            DHParams, price_options)
+        from option_pricing_ffn_lbfgs_tpu.utils.config import PricerConfig
+        surrogate, _ = trained
+        cfg = CalibrationConfig(pricer=PricerConfig(n_terms=64))
+        n = 3
+        spots = small_ds.spots[:n]
+        strikes = small_ds.strikes[:n]
+        mats = small_ds.maturities[:n]
+        market = small_ds.model_prices[:n]
+        is_call = jnp.ones((n, 15), bool)
+        out = hybrid_calibrate_batch_mixed(
+            surrogate, spots, 0.03, strikes, mats, is_call, market, cfg)
+        assert out.x.dtype == jnp.float64          # x64 on in tests
+        rel = np.abs((np.asarray(out.model_prices) - np.asarray(market))
+                     / np.asarray(market)).mean(-1)
+        ffn_params = surrogate.predict_params(market, spots)
+        ffn_prices = jax.vmap(lambda p, s, k, m: price_options(
+            DHParams.from_vector(jnp.asarray(p, jnp.float64)), s, 0.03, k,
+            m, jnp.ones(15, bool), n_terms=64))(ffn_params, spots, strikes,
+                                                mats)
+        rel_ffn = np.abs((np.asarray(ffn_prices) - np.asarray(market))
+                         / np.asarray(market)).mean(-1)
+        assert np.all(rel < rel_ffn)
+        assert rel.mean() < 0.01                   # <1% after refine+polish
 
 
 def price_rel(surrogate, ds, i):
