@@ -30,10 +30,11 @@ import jax.numpy as jnp
 
 from ..models.double_heston import DHParams, PARAM_NAMES, price_options
 from ..ops.lbfgs import lbfgs_minimize
-from ..utils.config import CalibrationConfig, LBFGSConfig
+from ..ops.levenberg_marquardt import lm_minimize
+from ..utils.config import CalibrationConfig, LBFGSConfig, LMConfig
 from ..utils.results import CalibrationResult
 from .initial_guess import initial_guesses
-from .loss import make_loss_fn
+from .loss import make_loss_fn, make_residual_fn
 from .transforms import transform
 
 
@@ -131,6 +132,41 @@ def _polish_core(spot, rate, strikes, maturities, is_call, market_prices,
 # so these ~tens of iterations are cheap even under f64 emulation.
 POLISH_LBFGS = LBFGSConfig(maxiter=60, ftol=1e-14, gtol=1e-10)
 
+# Default polish: Levenberg–Marquardt on the residual vector. Near the
+# optimum the objective is a well-conditioned 13-param least-squares problem,
+# so LM converges quadratically in ~5-10 iterations AND its fixed-structure
+# loop compiles to a far smaller XLA program than the Wolfe line-search state
+# machine — the difference between ~243 s and ~tens of seconds of XLA:TPU
+# compile for the f64-emulated polish (measured on TPU v5e, 2026-08-19).
+POLISH_LM = LMConfig(maxiter=40, ftol=1e-15, gtol=1e-11)
+
+
+def _polish_core_lm(spot, rate, strikes, maturities, is_call, market_prices,
+                    x0, config: CalibrationConfig, polish: LMConfig):
+    """LM refinement from a warm start in the widest available dtype."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cast = lambda a: jnp.asarray(a, dtype)
+    spot, rate, strikes, maturities, market_prices = map(
+        cast, (spot, rate, strikes, maturities, market_prices))
+    residual_fn = make_residual_fn(spot, rate, strikes, maturities, is_call,
+                                   market_prices, config)
+    res = lm_minimize(residual_fn, cast(x0), polish)
+    params_vec = transform(res.x)
+    model = price_options(
+        DHParams.from_vector(params_vec), spot, rate, strikes, maturities,
+        is_call, n_terms=config.pricer.n_terms, L=config.pricer.trunc_L,
+        q=config.pricer.dividend_yield)
+    return res, params_vec, model
+
+
+@partial(jax.jit, static_argnames=("config", "polish"))
+def _polish_batch_lm(spots, rate, strikes, maturities, is_call, market_prices,
+                     x0, config: CalibrationConfig, polish: LMConfig):
+    def one(spot, k, m, c, p, x):
+        return _polish_core_lm(spot, rate, k, m, c, p, x, config, polish)
+    return jax.vmap(one)(spots, strikes, maturities, is_call, market_prices,
+                         x0)
+
 
 @partial(jax.jit, static_argnames=("config", "polish"))
 def _polish_batch(spots, rate, strikes, maturities, is_call, market_prices,
@@ -147,8 +183,7 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
                           market_prices, keys,
                           config: CalibrationConfig = CalibrationConfig(),
                           n_starts: int = 3,
-                          polish: LBFGSConfig = POLISH_LBFGS
-                          ) -> BatchCalibration:
+                          polish=POLISH_LM) -> BatchCalibration:
     """Mixed-precision batch calibration: f32 multi-start + f64 polish.
 
     TPU rationale: the f32 fast path runs the whole multi-start L-BFGS at
@@ -156,7 +191,13 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
     (~1e-4 relative pricing error -> ~0.04% calibration error); float64 on
     TPU is software-emulated (~500x slower) but precise. Phase 1 solves the
     hard nonconvex part in f32; phase 2 polishes the single winner in f64
-    for a few dozen iterations. Net: f64-grade accuracy at nearly-f32 cost.
+    for a few iterations. Net: f64-grade accuracy at nearly-f32 cost.
+
+    ``polish`` selects the refiner: an LMConfig (default) runs
+    Levenberg–Marquardt on the residual vector — quadratic local convergence
+    and a small XLA program (the fix for the round-1 262 s compile wall); an
+    LBFGSConfig runs the Wolfe L-BFGS polish (round-1 behavior, kept for
+    comparison).
 
     Deliberately TWO device dispatches (f32 program + f64 program): fusing
     both phases into one jit makes the XLA:TPU f64-emulation compile blow
@@ -170,7 +211,9 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
         jnp.asarray(spots, f32), jnp.asarray(rate, f32),
         jnp.asarray(strikes, f32), jnp.asarray(maturities, f32), is_call,
         jnp.asarray(market_prices, f32), keys, config, n_starts)
-    res, params_vec, model = _polish_batch(
+    polish_fn = (_polish_batch_lm if isinstance(polish, LMConfig)
+                 else _polish_batch)
+    res, params_vec, model = polish_fn(
         spots, rate, strikes, maturities, is_call, market_prices, out32.x,
         config, polish)
     return BatchCalibration(

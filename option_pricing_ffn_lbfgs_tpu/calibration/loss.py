@@ -54,6 +54,58 @@ def surface_loss(params: DHParams, spot, rate, strikes, maturities, is_call,
     return jnp.where(jnp.isfinite(loss), loss, jax.lax.stop_gradient(bad))
 
 
+def surface_residuals(params: DHParams, spot, rate, strikes, maturities,
+                      is_call, market_prices,
+                      config: CalibrationConfig = CalibrationConfig()):
+    """The loss as a residual VECTOR: ``sum(r**2) == surface_loss`` exactly.
+
+    Exposes the least-squares structure of the reference objective
+    (lbfgs_calibrator.py:118-177) for Gauss–Newton/Levenberg–Marquardt:
+      * r[0:n]   = relative pricing errors / sqrt(n)   (sum of squares = MSE)
+      * r[n:n+2] = sqrt(weight * max(0, sigma_f^2 - 2 kappa_f theta_f)) per
+        factor, so their squares reproduce the reference's LINEAR penalty.
+        The sqrt kink at zero violation is masked with a double-where so
+        forward-mode tangents stay finite on the inactive branch.
+
+    Invalid pricer output (non-finite / non-positive) zeroes the residual
+    like surface_loss; LM's accept/reject on total cost then treats such a
+    region exactly as surface_loss's sentinel does — as non-improving.
+    """
+    model = price_options(
+        params, spot, rate, strikes, maturities, is_call,
+        n_terms=config.pricer.n_terms, L=config.pricer.trunc_L,
+        q=config.pricer.dividend_yield)
+    valid = jnp.isfinite(model) & (model > 0.0)
+    safe_model = jnp.where(valid, model, market_prices)
+    n = market_prices.shape[-1]
+    rel = (safe_model - market_prices) / market_prices / jnp.sqrt(
+        jnp.asarray(n, market_prices.dtype))
+    viol = jnp.stack([
+        params.sigma1**2 - 2.0 * params.kappa1 * params.theta1,
+        params.sigma2**2 - 2.0 * params.kappa2 * params.theta2])
+    active = viol > 0.0
+    safe_viol = jnp.where(active, viol, 1.0)
+    r_feller = jnp.where(
+        active, jnp.sqrt(config.feller_weight * safe_viol), 0.0)
+    r = jnp.concatenate([rel, r_feller])
+    # Any invalid price poisons the whole vector with the sentinel (spread
+    # evenly so sum(r^2) == bad_loss), mirroring surface_loss.
+    any_bad = jnp.any(~valid)
+    bad = jnp.sqrt(jnp.asarray(config.bad_loss, r.dtype) / r.shape[-1])
+    return jnp.where(any_bad, jax.lax.stop_gradient(
+        jnp.full_like(r, bad)), r)
+
+
+def make_residual_fn(spot, rate, strikes, maturities, is_call, market_prices,
+                     config: CalibrationConfig = CalibrationConfig()):
+    """Bind market data -> ``residuals(x)`` on unconstrained R^13 (for LM)."""
+    def residual_fn(x):
+        params = transform_to_params(x)
+        return surface_residuals(params, spot, rate, strikes, maturities,
+                                 is_call, market_prices, config)
+    return residual_fn
+
+
 def make_loss_fn(spot, rate, strikes, maturities, is_call, market_prices,
                  config: CalibrationConfig = CalibrationConfig()):
     """Bind market data -> ``loss(x)`` on unconstrained R^13 (jit/grad-ready).
