@@ -115,7 +115,7 @@ def sample_paths(key, config: GeneratorConfig, dtype):
         params = jnp.where(is_first, raw,
                            alpha * prev_params + (1.0 - alpha) * raw)
         if config.enforce_feller:
-            params = enforce_feller(params)
+            params = enforce_feller(params, config.feller_margin)
         ret = (jax.random.normal(k_spot, (), dtype) * config.spot_vol
                + config.spot_drift)
         spot = jnp.where(is_first, jnp.asarray(config.surface.spot, dtype),

@@ -63,6 +63,14 @@ class LMConfig:
     lambda_down: float = 0.2   # damping multiplier on accepted step
     lambda_min: float = 1e-12
     lambda_max: float = 1e8    # give up when damping exceeds this
+    # Compute the Jacobian with a float32 twin of the residual function
+    # (ops/levenberg_marquardt.py::lm_minimize jac_residual_fn). On TPU the
+    # 13 forward tangents are the bulk of the emulated-f64 polish program:
+    # an f32 Jacobian cuts its XLA compile from ~352 s to well under a
+    # minute and leaves only forward residual evaluations in f64, while
+    # accept/reject on the exact f64 cost keeps the iteration a strict
+    # descent method (a few extra cheap iterations, same final accuracy).
+    f32_jacobian: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,8 +107,10 @@ class GeneratorConfig:
     market_noise: float = 0.02           # multiplicative price noise
     start_date: str = "2022-01-03"
     surface: SurfaceSpec = SurfaceSpec()
-    # Cap sigma_i at 0.99*sqrt(2 kappa_i theta_i) so ground-truth params are
-    # recoverable under the Feller-penalized loss (the reference's raw
-    # ranges admit violating draws the calibrator then cannot reach; see
-    # data/synthetic.py::enforce_feller). False = raw reference semantics.
+    # Cap sigma_i at feller_margin*sqrt(2 kappa_i theta_i) so ground-truth
+    # params are recoverable under the Feller-penalized loss (the
+    # reference's raw ranges admit violating draws the calibrator then
+    # cannot reach; see data/synthetic.py::enforce_feller).
+    # False = raw reference semantics (synthetic_generator.py:75-89).
     enforce_feller: bool = True
+    feller_margin: float = 0.90

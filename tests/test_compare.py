@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training/polish-heavy; run with `pytest -m ""`
+
 from option_pricing_ffn_lbfgs_tpu.compare import run_comparison
 from option_pricing_ffn_lbfgs_tpu.data.synthetic import generate_dataset
 from option_pricing_ffn_lbfgs_tpu.surrogate.train import (

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # training/polish-heavy; run with `pytest -m ""`
+
 from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
     POLISH_LBFGS, calibrate_batch, calibrate_batch_mixed)
 from option_pricing_ffn_lbfgs_tpu.models.double_heston import (

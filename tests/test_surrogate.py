@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # training/polish-heavy; run with `pytest -m ""`
+
 from option_pricing_ffn_lbfgs_tpu.data.synthetic import generate_dataset
 from option_pricing_ffn_lbfgs_tpu.surrogate.features import (
     N_FEATURES, extract_features)
