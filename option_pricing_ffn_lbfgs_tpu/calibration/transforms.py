@@ -53,6 +53,25 @@ def transform_to_params(x: jnp.ndarray) -> DHParams:
     return DHParams.from_vector(transform(x))
 
 
+def transform_to_params_dd(x: jnp.ndarray) -> DHParams:
+    """float64 unconstrained vector -> DHParams of double-float (hi, lo)
+    float32 pairs, with the exp/tanh applied in DD arithmetic.
+
+    This keeps the full ~1e-15 parameter precision inside the double-float
+    polish program (ops/doublefloat.py) without any float64 transcendental
+    (the XLA:TPU compile bomb the DD path exists to avoid).
+    """
+    from ..ops import doublefloat as df
+    x_dd = df.from_f64(jnp.asarray(x, jnp.float64))
+    e = df.exp(x_dd)
+    t = df.tanh(x_dd)
+    exp_m = jnp.asarray(_EXP_MASK)
+    tanh_m = jnp.asarray(_TANH_MASK)
+    hi = jnp.where(exp_m, e[0], jnp.where(tanh_m, t[0], x_dd[0]))
+    lo = jnp.where(exp_m, e[1], jnp.where(tanh_m, t[1], x_dd[1]))
+    return DHParams(*((hi[i], lo[i]) for i in range(13)))
+
+
 def params_to_x(params: DHParams) -> jnp.ndarray:
     """DHParams -> unconstrained vector."""
     return inverse_transform(params.to_vector())

@@ -64,13 +64,19 @@ class LMConfig:
     lambda_min: float = 1e-12
     lambda_max: float = 1e8    # give up when damping exceeds this
     # Compute the Jacobian with a float32 twin of the residual function
-    # (ops/levenberg_marquardt.py::lm_minimize jac_residual_fn). On TPU the
-    # 13 forward tangents are the bulk of the emulated-f64 polish program:
-    # an f32 Jacobian cuts its XLA compile from ~352 s to well under a
-    # minute and leaves only forward residual evaluations in f64, while
-    # accept/reject on the exact f64 cost keeps the iteration a strict
-    # descent method (a few extra cheap iterations, same final accuracy).
+    # (ops/levenberg_marquardt.py::lm_minimize jac_residual_fn): a f32
+    # Jacobian only perturbs the step *direction*; accept/reject on the
+    # exact high-precision cost keeps the iteration a strict descent
+    # method (a few extra cheap iterations, same final accuracy).
     f32_jacobian: bool = True
+    # Residual implementation for the high-precision phase:
+    #   "dd"     — double-float (two-float32) pricer
+    #              (models/double_heston_dd.py): float32-only XLA program,
+    #              compiles in tens of seconds, ~1e-13 pricing accuracy;
+    #   "native" — residuals at the enclosing dtype (float64 when x64 is
+    #              on; XLA:TPU emulates it — 170-330 s compile, kept as the
+    #              parity/fallback mode).
+    residual_impl: str = "dd"
 
 
 @dataclasses.dataclass(frozen=True)

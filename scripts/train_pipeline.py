@@ -1,0 +1,162 @@
+"""Run the documented two-stage surrogate training at scale on TPU and
+commit-ready artifacts (VERDICT r1 item 4).
+
+Reference pipeline (docs/METHODOLOGY.md:91-110, unshipped upstream):
+  stage 1: pretrain on synthetic surfaces (Adam 1e-3, batch 256, early stop);
+  stage 2: fine-tune on ACTUAL L-BFGS calibration results (lr=1e-5, batch 32)
+           — targets are what the calibrator RETURNED, not ground truth.
+
+Outputs (the artifact set the reference's suite validates,
+tests/test_suite.py:150-184):
+  results/models/ffn_surrogate.pkl      — variables + scalers (load_surrogate)
+  results/data/scalers.pkl              — {feature_scaler, target_scaler}
+  results/models/training_history.json  — per-epoch losses + provenance
+
+Usage: python scripts/train_pipeline.py [--n-pretrain 100000]
+       [--n-finetune 1000] [--chunk 5000]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-pretrain", type=int, default=100_000)
+    ap.add_argument("--n-finetune", type=int, default=1000)
+    ap.add_argument("--chunk", type=int, default=5000)
+    ap.add_argument("--out-dir", default="results")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)  # for the f64 polish phase
+
+    from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
+        calibrate_batch_mixed)
+    from option_pricing_ffn_lbfgs_tpu.data.synthetic import (
+        SyntheticDataset, sample_paths, _surface_grid)
+    from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
+        DHParams, price_options)
+    from option_pricing_ffn_lbfgs_tpu.surrogate.scalers import save_scalers
+    from option_pricing_ffn_lbfgs_tpu.surrogate.train import (
+        FINETUNE, TrainConfig, dataset_to_xy, fit, save_surrogate)
+    from option_pricing_ffn_lbfgs_tpu.utils.config import GeneratorConfig
+
+    f32 = jnp.float32
+    t_start = time.time()
+
+    def gen(key, n, noise_key):
+        """Synthetic dataset of n surfaces, priced in f32 chunks on TPU."""
+        cfg = GeneratorConfig(n_samples=n)
+        params, spots = sample_paths(key, cfg, f32)
+        rel, mats = _surface_grid(cfg, f32)
+        strikes = spots[:, None] * rel[None, :] / 100.0
+        n_opt = rel.shape[0]
+        rate = jnp.asarray(cfg.surface.rate, f32)
+
+        @jax.jit
+        def price_chunk(p, s, k):
+            return jax.vmap(lambda pv, sv, kv: price_options(
+                DHParams.from_vector(pv), sv, rate, kv, mats,
+                jnp.ones(n_opt, bool)))(p, s, k)
+
+        outs = []
+        for i in range(0, n, args.chunk):
+            outs.append(np.asarray(price_chunk(
+                params[i:i + args.chunk], spots[i:i + args.chunk],
+                strikes[i:i + args.chunk])))
+        model = jnp.asarray(np.concatenate(outs))
+        b_mats = jnp.broadcast_to(mats, strikes.shape)
+        noise = (jax.random.normal(noise_key, model.shape, f32)
+                 * cfg.market_noise)
+        market = model * (1.0 + noise)
+        rel_err = (model - market) / market
+        return SyntheticDataset(params=params, spots=spots, strikes=strikes,
+                                maturities=b_mats, model_prices=model,
+                                market_prices=market,
+                                losses=jnp.mean(rel_err**2, axis=-1))
+
+    print(f"[1/4] generating {args.n_pretrain} pretrain surfaces...",
+          flush=True)
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(42), 4)
+    pre = gen(k1, args.n_pretrain, k2)
+    print(f"      done in {time.time()-t_start:.1f}s", flush=True)
+
+    print(f"[2/4] calibrating {args.n_finetune} surfaces with the real "
+          f"L-BFGS engine (finetune targets)...", flush=True)
+    t0 = time.time()
+    fine = gen(k3, args.n_finetune, k4)
+    keys = jax.random.split(jax.random.key(7), args.n_finetune)
+    out = calibrate_batch_mixed(
+        fine.spots.astype(jnp.float64), jnp.asarray(0.03, jnp.float64),
+        fine.strikes.astype(jnp.float64), fine.maturities.astype(jnp.float64),
+        jnp.ones_like(fine.strikes, bool),
+        fine.market_prices.astype(jnp.float64), keys, n_starts=3)
+    out = jax.block_until_ready(out)
+    calib_params = np.asarray(out.params, np.float64)
+    rel = np.abs((np.asarray(out.model_prices) - np.asarray(fine.market_prices))
+                 / np.asarray(fine.market_prices))
+    print(f"      calibrated: mean rel err vs noisy market "
+          f"{rel.mean()*100:.4f}% (noise floor ~2%), "
+          f"{int(np.asarray(out.converged).sum())}/{args.n_finetune} "
+          f"converged, {time.time()-t0:.1f}s", flush=True)
+    # Finetune dataset: features from the market surface, TARGETS = what the
+    # calibrator actually returned (docs/METHODOLOGY.md:100-110).
+    fine_calibrated = fine._replace(
+        params=jnp.asarray(calib_params, f32),
+        model_prices=jnp.asarray(out.model_prices, f32),
+        losses=jnp.asarray(out.loss, f32))
+
+    print("[3/4] stage-1 pretraining...", flush=True)
+    t0 = time.time()
+    fx, fy = dataset_to_xy(pre)
+    stage1, h1 = fit(fx, fy, TrainConfig(), verbose=False)
+    print(f"      pretrain: {len(h1['val_loss'])} epochs, "
+          f"best val {min(h1['val_loss']):.5f}, {time.time()-t0:.1f}s",
+          flush=True)
+
+    print("[4/4] stage-2 fine-tuning on calibration results...", flush=True)
+    t0 = time.time()
+    gx, gy = dataset_to_xy(fine_calibrated)
+    stage2, h2 = fit(gx, gy, FINETUNE, init=stage1, verbose=False)
+    print(f"      finetune: {len(h2['val_loss'])} epochs, "
+          f"best val {min(h2['val_loss']):.5f}, {time.time()-t0:.1f}s",
+          flush=True)
+
+    models_dir = os.path.join(args.out_dir, "models")
+    data_dir = os.path.join(args.out_dir, "data")
+    os.makedirs(models_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+    save_surrogate(os.path.join(models_dir, "ffn_surrogate.pkl"), stage2)
+    save_scalers(os.path.join(data_dir, "scalers.pkl"),
+                 stage2.feature_scaler, stage2.target_scaler)
+    hist = {
+        "pretrain": h1, "finetune": h2,
+        "provenance": {
+            "n_pretrain": args.n_pretrain,
+            "n_finetune_calibrations": args.n_finetune,
+            "finetune_targets": "actual L-BFGS calibration outputs "
+                                "(calibrate_batch_mixed, 3 starts, f32 solve "
+                                "+ f64 LM polish)",
+            "finetune_calibration_mean_rel_err_vs_market_pct":
+                float(rel.mean() * 100.0),
+            "finetune_converged": int(np.asarray(out.converged).sum()),
+            "device": str(jax.devices()[0]),
+            "wall_s": round(time.time() - t_start, 1),
+        },
+    }
+    with open(os.path.join(models_dir, "training_history.json"), "w") as f:
+        json.dump(hist, f, indent=1)
+    print(f"artifacts written to {models_dir} and {data_dir}; total "
+          f"{time.time()-t_start:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,46 @@ def test_hybrid_stats_match_raw():
     np.testing.assert_allclose(total, parts, rtol=0.02)
 
 
+def test_hybrid_full_statistics_schema():
+    """Every statistics key of the reference's hybrid schema is present and
+    consistent with the raw arrays
+    (/root/reference/results/hybrid_actual_results.json)."""
+    with open(HYBRID_JSON) as f:
+        d = json.load(f)
+    stats = d["statistics"]
+    errs = np.asarray(d["pricing_errors"])
+    required = {"mean_error", "std_error", "median_error", "min_error",
+                "max_error", "mean_time", "std_time", "mean_improvement"}
+    assert required <= set(stats)
+    np.testing.assert_allclose(stats["std_error"], errs.std(), atol=1e-9)
+    np.testing.assert_allclose(stats["median_error"], np.median(errs),
+                               atol=1e-9)
+    np.testing.assert_allclose(stats["min_error"], errs.min(), atol=1e-9)
+    np.testing.assert_allclose(stats["max_error"], errs.max(), atol=1e-9)
+    np.testing.assert_allclose(stats["mean_time"],
+                               np.mean(d["total_times"]), atol=1e-9)
+    np.testing.assert_allclose(stats["mean_improvement"],
+                               np.mean(d["improvements"]), atol=1e-9)
+
+
+def test_times_are_genuinely_per_sample():
+    """Per-sample time arrays must be real measurements, not one mean
+    replicated n times (round-1 VERDICT item 4): n independent wall-clock
+    timings of the same program never agree to sub-microsecond."""
+    with open(LBFGS_JSON) as f:
+        lbfgs = json.load(f)
+    with open(HYBRID_JSON) as f:
+        hybrid = json.load(f)
+    for name, arr in [("lbfgs total_times", lbfgs["total_times"]),
+                      ("hybrid total_times", hybrid["total_times"]),
+                      ("hybrid ffn_times", hybrid["ffn_times"])]:
+        a = np.asarray(arr, dtype=float)
+        if a.size > 1:
+            assert np.unique(a).size > 1, (
+                f"{name} is a constant-replicated array — not per-sample "
+                f"measurements: {a.tolist()}")
+
+
 def test_table_quotes_json_means():
     with open(LBFGS_JSON) as f:
         lbfgs = json.load(f)
