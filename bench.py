@@ -25,13 +25,15 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    """Optional persistent XLA compilation cache (BENCH_COMPILE_CACHE=1).
+    """Persistent XLA compilation cache (disable with BENCH_COMPILE_CACHE=0).
 
-    Disabled by default: on the axon TPU tunnel, serializing the large
-    f64-emulated executables into the cache stalls the run indefinitely
-    (measured: the same program compiles in ~6.5 min without the cache but
-    never completed in 40+ min with it)."""
-    if os.environ.get("BENCH_COMPILE_CACHE") != "1":
+    The production answer to the XLA compile wall: identical programs
+    compile once per machine, ever. Round 2 shipped this disabled because
+    serializing the huge f64-EMULATED executables stalled the axon tunnel
+    indefinitely; the mixed pipeline is now float32-only end to end
+    (double-float polish, models/double_heston_dd.py), whose executables
+    serialize fine."""
+    if os.environ.get("BENCH_COMPILE_CACHE") == "0":
         return
     try:
         import jax
@@ -74,12 +76,21 @@ def build_problem(dtype):
     bs = jnp.broadcast_to(jnp.asarray(strikes, dtype), (N_SURFACES, 15))
     bm = jnp.broadcast_to(jnp.asarray(mats, dtype), (N_SURFACES, 15))
     bc = jnp.ones((N_SURFACES, 15), bool)
-    prices = jax.vmap(
-        lambda s, v: price_options(DHParams.from_vector(v), s, 0.03,
-                                   jnp.asarray(strikes, dtype),
-                                   jnp.asarray(mats, dtype),
-                                   jnp.ones(15, bool)))(
-        spots, jnp.asarray(true, dtype))
+    # Ground-truth prices are benchmark SETUP, not the measured program —
+    # compute them on the host CPU backend, where float64 is native and the
+    # pricer compiles in seconds. On TPU the same f64 program is
+    # x64-emulated and costs minutes of XLA compile (it was a hidden chunk
+    # of the round-2 359 s bench compile; results/compile_breakdown.json).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        prices_cpu = jax.jit(jax.vmap(
+            lambda s, v: price_options(DHParams.from_vector(v), s, 0.03,
+                                       jnp.asarray(strikes, dtype),
+                                       jnp.asarray(mats, dtype),
+                                       jnp.ones(15, bool))))(
+            jax.device_put(spots, cpu),
+            jax.device_put(jnp.asarray(true, dtype), cpu))
+    prices = jax.device_put(np.asarray(prices_cpu))
     keys = jax.random.split(jax.random.key(0), N_SURFACES)
     return spots, bs, bm, bc, prices, keys
 

@@ -179,17 +179,13 @@ def _polish_core_lm(spot, rate, strikes, maturities, is_call, market_prices,
             config)
     res = lm_minimize(residual_fn, cast(x0), polish, jac_residual_fn=jac_fn)
     params_vec = transform(res.x)
-    if use_dd:
-        from ..models.double_heston_dd import price_options_dd
-        model = price_options_dd(
-            DHParams.from_vector(params_vec), spot, rate, strikes,
-            maturities, is_call, n_terms=config.pricer.n_terms,
-            L=config.pricer.trunc_L, q=config.pricer.dividend_yield)
-    else:
-        model = price_options(
-            DHParams.from_vector(params_vec), spot, rate, strikes,
-            maturities, is_call, n_terms=config.pricer.n_terms,
-            L=config.pricer.trunc_L, q=config.pricer.dividend_yield)
+    # Reconstruct the final model prices from the final residual vector
+    # (r[:n] = (model - market)/market/sqrt(n), exactly — see
+    # surface_residuals) instead of re-running the pricer: a third copy of
+    # the residual program here was part of the round-2 polish compile wall.
+    n_opt = market_prices.shape[-1]
+    scale = jnp.sqrt(jnp.asarray(n_opt, market_prices.dtype))
+    model = market_prices * (1.0 + res.r[:n_opt] * scale)
     return res, params_vec, model
 
 

@@ -111,12 +111,14 @@ def make_residual_fn_dd(spot, rate, strikes, maturities, is_call,
                         config: CalibrationConfig = CalibrationConfig()):
     """Double-float residual function: float64 in/out, float32 ops inside.
 
-    Semantics of surface_residuals at ~1e-13 pricing accuracy, but the XLA
+    Semantics of surface_residuals at ~1e-12 worst-case pricing parity
+    (measured, see models/double_heston_dd.py docstring), but the XLA
     program contains no float64 transcendental — the pricer runs in
     two-float32 compensated arithmetic (models/double_heston_dd.py), so the
-    polish program compiles in tens of seconds instead of the 170-330 s
-    XLA:TPU x64-emulation wall (VERDICT r1 item 3). The few float64 ops
-    left (residual assembly, masking) are compile-trivial.
+    polish program avoids the 170-330 s XLA:TPU x64-emulation compile wall
+    (VERDICT r1 item 3; phase-wise numbers in
+    results/compile_breakdown.json). The few float64 ops left (residual
+    assembly, masking) are compile-trivial.
     """
     from ..models.double_heston_dd import price_options_dd_core
     from .transforms import transform_to_params_dd

@@ -1,16 +1,20 @@
 """Double-float (two-float32) COS pricer: the TPU-native precision path.
 
-Twin of models/double_heston.py at ~1e-13 relative accuracy, built entirely
-from native float32 ops (ops/doublefloat.py, ops/complex_dd.py). Purpose:
-the calibration polish needs better-than-f32 pricing, but XLA:TPU's float64
-emulation costs 170-330 s of compile for this pricer (measured on v5e,
-2026-08-19) — the double-float twin compiles like a float32 program and
-runs at hardware speed, replacing the reference's NumPy complex128 math
+Twin of models/double_heston.py, built entirely from native float32 ops
+(ops/doublefloat.py, ops/complex_dd.py). Purpose: the calibration polish
+needs better-than-f32 pricing, but XLA:TPU's float64 emulation costs
+170-330 s of compile for this pricer (measured on v5e, 2026-08-19) — the
+double-float twin compiles like a float32 program and runs at hardware
+speed, replacing the reference's NumPy complex128 math
 (/root/reference/src/models/double_heston.py:48-192) the TPU way.
 
+Measured parity vs the float64 pricer (tests/test_doublefloat.py, 200
+generator-range surfaces, 2026-08-19 after the FMA/algsimp hardening in
+ops/doublefloat.py): median 9.6e-13, worst-case 3.7e-12 relative; the
+squared-loss floor this implies (~1e-23) is far below the polish ftol.
+
 Semantics preserved bit-close to the f64 path (same formulas, same
-truncation quirks, same k=0 half-weighting); parity is tested in
-tests/test_doublefloat.py against the float64 pricer.
+truncation quirks, same k=0 half-weighting).
 
 All "numbers" here are DD = (hi, lo) float32 pairs; complex values are
 (re_DD, im_DD). Inputs/outputs cross the boundary as float64.

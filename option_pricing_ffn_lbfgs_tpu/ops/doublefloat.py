@@ -19,23 +19,61 @@ with ``|lo| <= ulp(hi)/2`` (a normalized double-float). All algorithms are
 the classical error-free transformations (Dekker 1971, Knuth TAOCP §4.2.2,
 Hida-Li-Bailey QD library) specialized to float32 WITHOUT relying on FMA
 (TPU's VPU has no user-visible scalar FMA through XLA; Dekker splitting is
-used instead, split constant 2^13+1 for the 24-bit float32 mantissa).
+used instead, split constant 2^12+1 for the 24-bit float32 mantissa).
 
 CRITICAL compiler caveat: these algorithms are EXACT floating-point
-identities and break under reassociation. XLA does not reassociate float
-ops by default (only under --xla_allow_excess_precision-style flags, off
-here); tests/test_doublefloat.py guards the invariants against regressions.
+identities. XLA backends contract a rounded product into a following
+add/sub as an FMA whenever they like (measured bitwise on XLA:CPU:
+``jit(a*a + e)`` == fma semantics on 100k samples; neither
+``--xla_allow_excess_precision=false``, ``optimization_barrier``,
+``reduce_precision``, nor bitcast round-trips prevent it — all are folded
+before codegen). The classic Dekker two_prod, whose correctness needs the
+ROUNDED ``p = a*b`` inside ``ahi*bhi - p``, silently degrades to float32
+accuracy under that contraction (~6e-8, the root cause of round 2's
+in-distribution DD parity violations). Every algorithm here is therefore
+written to be FMA-contraction-IMMUNE by construction:
+
+  * the Dekker split uses integer mantissa masking (no multiply at all);
+  * two_prod forms four EXACT <=24-bit partial products and combines them
+    with two_sum chains — contracting an exact product into an add changes
+    nothing (round(exact + y) either way);
+  * inexact products appear ONLY in correction terms whose rounding is
+    below the 2^-48 wordlength (mul/sqr cross terms);
+  * two_sum / quick_two_sum are pure add/sub chains — XLA does not
+    reassociate float adds BETWEEN RUNTIME VALUES, but its algebraic
+    simplifier DOES fold ``(c + y) - c -> y`` when ``c`` is a literal
+    constant (measured: ``jit(two_sum(1.0, -x))`` returned error term 0),
+    which silently truncates any EFT chain touching a constant to f32. All
+    constants entering DD arithmetic are therefore pinned opaque with
+    ``optimization_barrier`` (``_pin``) — algsimp runs before barrier
+    expansion, so the barrier blocks the fold at exactly the right stage.
+
+tests/test_doublefloat.py guards the invariants against regressions.
 """
 from __future__ import annotations
 
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 DD = Tuple[jnp.ndarray, jnp.ndarray]
 
-_SPLIT = 4097.0  # 2^12 + 1: Dekker split constant for 24-bit mantissa
+# Integer mask clearing the low 12 stored-mantissa bits of a float32:
+# keeps sign + exponent + 11 stored (12 significant) mantissa bits.
+_SPLIT_MASK = ~jnp.uint32(0xFFF)
+
+
+def _pin(x):
+    """Make a literal constant opaque to XLA's algebraic simplifier.
+
+    Without this, a constant operand of two_sum lets algsimp fold
+    ``(c + y) - c -> y`` and the error term vanishes (see module
+    docstring). Barriers cost a fusion boundary at most; they are expanded
+    to nothing after the simplification passes.
+    """
+    return jax.lax.optimization_barrier(x)
 
 
 # ---------------------------------------------------------------------------
@@ -58,20 +96,41 @@ def quick_two_sum(a, b) -> DD:
 
 
 def _split(a) -> DD:
-    """a = hi + lo with hi, lo having <=12 mantissa bits each (Dekker)."""
-    t = _SPLIT * a
-    hi = t - (t - a)
+    """a = hi + lo, each with <=12 significant mantissa bits.
+
+    Truncation split by integer mantissa masking instead of Dekker's
+    4097-multiply trick: no multiply means nothing for the backend to
+    contract into an FMA (the 4097 form measurably collapsed to an exact
+    4096*a under XLA:CPU contraction). ``a - hi`` is exact (Sterbenz).
+    """
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & _SPLIT_MASK, jnp.float32)
     lo = a - hi
     return hi, lo
 
 
 def two_prod(a, b) -> DD:
-    """a * b = p + e exactly (Dekker, FMA-free)."""
-    p = a * b
+    """a * b = p + e exactly, FMA-contraction-immune.
+
+    All four partial products are exact (<=24-bit results in a 24-bit
+    mantissa), so an FMA contraction of any of them into the following
+    adds is bitwise neutral; the partials are combined with error-free
+    add chains. Residual error is <= ~2^-58 |ab| (the two plain adds at
+    the end act on <=2^-34-scale terms).
+    """
     ahi, alo = _split(a)
     bhi, blo = _split(b)
-    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
-    return p, e
+    h1 = ahi * bhi
+    h2 = ahi * blo
+    h3 = alo * bhi
+    h4 = alo * blo
+    s23, e23 = two_sum(h2, h3)
+    p1, e1 = two_sum(h1, s23)
+    t1, t2 = two_sum(e23, h4)
+    u1, u2 = two_sum(e1, t1)
+    p, e = quick_two_sum(p1, u1)
+    e = e + (u2 + t2)
+    return quick_two_sum(p, e)
 
 
 # ---------------------------------------------------------------------------
@@ -91,21 +150,34 @@ def dd_const(x: float, shape=(), like=None) -> DD:
 
     NOTE: the split must happen in host numpy — jnp.float32(x) builds a
     device array (a tracer under jit), so float() on it would fail.
+    Outputs are pinned (`_pin`) so downstream EFT chains survive algsimp.
     """
     import numpy as _np
     hi = _np.float32(x)
     lo = _np.float32(x - float(hi))
     if like is not None:
         shape = jnp.shape(like[0] if isinstance(like, tuple) else like)
-    return (jnp.full(shape, hi, jnp.float32),
-            jnp.full(shape, lo, jnp.float32))
+    # Pin the SCALARS, broadcast after: the barrier blocks the algsimp
+    # fold while the broadcast stays fusible (a pinned full-shape array
+    # would be materialized to HBM at every call site).
+    return (jnp.broadcast_to(_pin(jnp.asarray(hi)), shape),
+            jnp.broadcast_to(_pin(jnp.asarray(lo)), shape))
 
 
 def from_f64(x) -> DD:
-    """Split a float64 array into a DD (for program boundaries only)."""
+    """Split a float64 array into a DD (for program boundaries only).
+
+    Outputs are pinned: when ``x`` is a trace-time constant (a Python
+    float argument like spot/rate/q baked into the jit), the unpinned
+    halves are HLO constants and algsimp folds them out of downstream
+    two_sums (measured: the drift term of the DD characteristic function
+    silently lost its lo word this way). Pinning a runtime array costs
+    nothing.
+    """
+    x = jnp.asarray(x)
     hi = jnp.asarray(x, jnp.float32)
     lo = jnp.asarray(x - hi.astype(x.dtype), jnp.float32)
-    return hi, lo
+    return _pin(hi), _pin(lo)
 
 
 def to_f64(a: DD):
@@ -132,8 +204,10 @@ def add(a: DD, b: DD) -> DD:
 
 
 def add_f(a: DD, b) -> DD:
-    """DD + float32."""
-    s, e = two_sum(a[0], b)
+    """DD + float32. ``b`` is pinned: call sites pass literal constants
+    (e.g. the +1 of the exp Taylor), and an unpinned constant lets algsimp
+    collapse the two_sum (see module docstring)."""
+    s, e = two_sum(a[0], _pin(jnp.asarray(b, jnp.float32)))
     e = e + a[1]
     return quick_two_sum(s, e)
 
@@ -269,33 +343,89 @@ _LN2 = math.log(2.0)
 _EXP_MAX_TERMS = 14
 
 
+def _dd_coef_table(values):
+    """Split Python floats into a [terms, 2] float32 DD table (hi, lo).
+
+    Taylor evaluations run as fully-unrolled ``lax.scan``s over these
+    tables. Why scan at all: the coefficient slices stay runtime values so
+    algsimp cannot fold them out of the EFT chains. Why unroll: a rolled
+    TPU loop costs ~10 us per step, and with ~25 transcendental call sites
+    x 8-14 steps per pricer evaluation that measured ~35 ms per polish —
+    65x the entire round-2 mixed calibration. Unrolled, the loop overhead
+    vanishes; the compile-size cost is bounded and the remaining compile
+    wall is handled by the persistent XLA compilation cache (bench.py).
+    """
+    import numpy as _np
+    v64 = _np.asarray(values, _np.float64)
+    hi = _np.asarray(v64, _np.float32)
+    lo = _np.asarray(v64 - hi, _np.float32)
+    return _np.stack([hi, lo], axis=-1)
+
+
 def _pow2(k):
-    """Exact 2^k for integer-valued float32 k in [-126, 127].
+    """Exact 2^k for integer-valued float32 k, clamped to [-126, 127].
 
     jnp.exp2 on TPU/CPU is a polynomial APPROXIMATION with ~2e-6 relative
     error even at exact integer inputs (measured: exp2(52) is off by 1e10),
     which silently destroys double-float accuracy — build the float from
-    its exponent bits instead.
+    its exponent bits instead. Out-of-range k would make the exponent-bit
+    arithmetic WRAP into garbage, so k is clipped; exp() handles the true
+    under/overflow semantics before calling this.
     """
     import jax as _jax
-    ki = k.astype(jnp.int32)
+    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
     return _jax.lax.bitcast_convert_type(
         (ki + jnp.int32(127)) << jnp.int32(23), jnp.float32)
 
 
+# float32 exp domain: exp(-87.3) ~ 2^-126 (smallest normal), exp(88.7) ~
+# 2^128 (overflow). Outside these, exp() returns exact 0 / +inf instead of
+# letting _pow2's exponent bits wrap (which previously produced silent
+# garbage, e.g. exp(-400) -> 2.6e-20; see tests/test_doublefloat.py).
+_EXP_UNDERFLOW = -87.0
+_EXP_OVERFLOW = 88.0
+
+
 def exp(a: DD) -> DD:
-    """exp(a) for |a| up to ~80: k=round(a/ln2) reduction + DD Taylor."""
-    k = jnp.round(a[0] / jnp.float32(_LN2))
+    """exp(a) with full-domain clamping: exact 0 below the float32
+    underflow cliff, +inf above overflow; k=round(a/ln2) reduction + DD
+    Taylor in between.
+
+    Accuracy contract (measured, tests/test_doublefloat.py): relative
+    error <= max(~2^-47, 1.2e-38 / exp(a)). The second term is the
+    output-representation limit of a two-float32 value: once the lo word
+    falls below the float32 normal range it is flushed (TPU and XLA:CPU
+    are FTZ), so results below ~1e-26 carry fewer than 48 bits, tapering
+    to plain f32 precision near the underflow cliff. Harmless for the COS
+    pricer — values that small only ever enter additively against O(1)
+    series terms.
+    """
+    under = a[0] < jnp.float32(_EXP_UNDERFLOW)
+    over = a[0] > jnp.float32(_EXP_OVERFLOW)
+    bad = under | over
+    # Compute the reduced path on a safe argument so no intermediate wraps.
+    a_hi = jnp.where(bad, jnp.float32(0.0), a[0])
+    a_lo = jnp.where(bad, jnp.float32(0.0), a[1])
+    k = jnp.round(a_hi / jnp.float32(_LN2))
     # r = a - k*ln2 in DD (ln2 as a DD constant keeps the reduction exact
     # to ~1e-15; |r| <= ln2/2)
     ln2 = dd_const(_LN2, like=a)
-    r = sub(a, mul_f(ln2, k))
+    r = sub((a_hi, a_lo), mul_f(ln2, k))
     acc = _exp_taylor(r)
     # scale by 2^k exactly (split in two in case acc*2^k spans the range)
     k1 = jnp.trunc(k * 0.5)
     s1 = _pow2(k1)
     s2 = _pow2(k - k1)
-    return (acc[0] * s1) * s2, (acc[1] * s1) * s2
+    hi = (acc[0] * s1) * s2
+    lo = (acc[1] * s1) * s2
+    zero = jnp.zeros_like(hi)
+    hi = jnp.where(under, zero, jnp.where(over, jnp.inf, hi))
+    lo = jnp.where(bad, zero, lo)
+    return hi, lo
+
+
+_EXP_COEFS = _dd_coef_table(
+    [1.0 / n for n in range(_EXP_MAX_TERMS, 0, -1)])
 
 
 def _exp_taylor(r: DD) -> DD:
@@ -303,13 +433,20 @@ def _exp_taylor(r: DD) -> DD:
 
     Reciprocal coefficients are DD constants — rounding them to single
     float32s costs ~1e-9 relative in the sum (measured), 5 orders above the
-    double-float wordlength.
+    double-float wordlength. Evaluated as a lax.scan over the coefficient
+    table so the body is emitted once per call site (compile-size control).
     """
+    import jax as _jax
+
     # Horner: 1 + r(1 + r/2(1 + r/3(...)))
-    acc = dd_const(1.0, like=r)
-    for n in range(_EXP_MAX_TERMS, 0, -1):
-        acc = mul(acc, mul(r, dd_const(1.0 / n, like=r)))
+    def body(acc, c):
+        acc = mul(acc, mul(r, (c[0], c[1])))
         acc = add_f(acc, jnp.float32(1.0))
+        return acc, None
+
+    init = (jnp.ones_like(r[0]), jnp.zeros_like(r[0]))
+    acc, _ = _jax.lax.scan(body, init, jnp.asarray(_EXP_COEFS),
+                           unroll=True)
     return acc
 
 
@@ -331,29 +468,44 @@ _PI = math.pi
 _PIO2 = math.pi / 2.0
 
 
+_SIN_COEFS = _dd_coef_table(
+    list(reversed([1.0 / ((2 * n) * (2 * n + 1)) for n in range(1, 9)])))
+_COS_COEFS = _dd_coef_table(
+    list(reversed([1.0 / ((2 * n - 1) * (2 * n)) for n in range(2, 10)])))
+
+
 def _sin_taylor(r: DD) -> DD:
     """sin(r), |r| <= pi/4, DD Taylor (8 odd terms -> <1e-17).
 
-    Coefficients as DD constants (see _exp_taylor).
+    Coefficients as DD constants evaluated via lax.scan (see _exp_taylor).
     """
+    import jax as _jax
     r2 = sqr(r)
-    one = dd_const(1.0, like=r)
+    one = dd_const(1.0, like=r)  # pinned — a bare constant 1 collapses the
+    #                              sub()'s two_sum under algsimp
+    init = (jnp.ones_like(r[0]), jnp.zeros_like(r[0]))
+
     # Horner over odd terms: r(1 - r2/6(1 - r2/20(1 - ...)))
-    coefs = [1.0 / ((2 * n) * (2 * n + 1)) for n in range(1, 9)]
-    acc = one
-    for c in reversed(coefs):
-        acc = sub(one, mul(mul(r2, dd_const(c, like=r)), acc))
+    def body(acc, c):
+        return sub(one, mul(mul(r2, (c[0], c[1])), acc)), None
+
+    acc, _ = _jax.lax.scan(body, init, jnp.asarray(_SIN_COEFS),
+                           unroll=True)
     return mul(r, acc)
 
 
 def _cos_taylor(r: DD) -> DD:
     """cos(r), |r| <= pi/4, DD Taylor."""
+    import jax as _jax
     r2 = sqr(r)
-    one = dd_const(1.0, like=r)
-    coefs = [1.0 / ((2 * n - 1) * (2 * n)) for n in range(1, 10)]
-    acc = one
-    for c in reversed(coefs[1:]):
-        acc = sub(one, mul(mul(r2, dd_const(c, like=r)), acc))
+    one = dd_const(1.0, like=r)  # pinned, see _sin_taylor
+    init = (jnp.ones_like(r[0]), jnp.zeros_like(r[0]))
+
+    def body(acc, c):
+        return sub(one, mul(mul(r2, (c[0], c[1])), acc)), None
+
+    acc, _ = _jax.lax.scan(body, init, jnp.asarray(_COS_COEFS),
+                           unroll=True)
     return sub(one, mul(mul_f(r2, jnp.float32(0.5)), acc))
 
 

@@ -37,6 +37,9 @@ class LMResult(NamedTuple):
     x: jnp.ndarray          # final iterate [d]
     f: jnp.ndarray          # final cost = sum(r^2)
     grad: jnp.ndarray       # final gradient of the cost, 2 J^T r [d]
+    r: jnp.ndarray          # final residual vector [m] (lets callers
+    #                         reconstruct model values without re-running
+    #                         the residual program — compile-size control)
     n_iters: jnp.ndarray    # outer iterations taken
     n_evals: jnp.ndarray    # residual (+Jacobian) evaluations
     converged: jnp.ndarray  # hit gtol/ftol/xtol (vs maxiter / lambda_max)
@@ -92,11 +95,20 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
         r = jnp.where(jnp.isfinite(r), r, jnp.asarray(jnp.inf, dt))
         return jnp.sum(r * r)
 
-    r0, j0 = r_and_j(x0)
+    # Lazy initialization: the initial (r, J) are placeholders with cost=inf
+    # so the FIRST while-loop iteration evaluates r_and_j(x0) (zero J ->
+    # zero step -> x_try == x0, always accepted against inf). This keeps
+    # exactly ONE copy of the residual program in the XLA graph instead of
+    # two (init + body) — the residual is the entire double-float COS pricer
+    # (~100k StableHLO lines), so the duplicate copy was a large share of
+    # the round-2 polish compile wall (results/compile_breakdown.json).
+    r_shape = jax.eval_shape(residual_fn, x0)
+    r0 = jnp.full(r_shape.shape, jnp.nan, dt)
+    j0 = jnp.zeros(r_shape.shape + x0.shape, dt)
     init = _State(
-        x=x0, r=r0, J=j0, cost=cost_of(r0),
+        x=x0, r=r0, J=j0, cost=jnp.asarray(jnp.inf, dt),
         lam=jnp.asarray(config.lambda_init, dt),
-        n_iters=jnp.asarray(0, jnp.int32), n_evals=jnp.asarray(1, jnp.int32),
+        n_iters=jnp.asarray(0, jnp.int32), n_evals=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False), converged=jnp.asarray(False))
 
     gtol = jnp.asarray(config.gtol, dt)
@@ -137,13 +149,25 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
         # scipy-style: floor the scale at 1 so ftol acts as an absolute
         # decrease threshold once the cost is below 1 (it always is here —
         # relative-MSE losses converge to ~1e-13).
-        fconv = accept & ((st.cost - cost_try) <= ftol * jnp.maximum(
-            jnp.maximum(st.cost, cost_try), jnp.asarray(1.0, dt)))
+        fscale = jnp.maximum(jnp.maximum(st.cost, cost_try),
+                             jnp.asarray(1.0, dt))
+        fconv_accept = accept & ((st.cost - cost_try) <= ftol * fscale)
+        # A REJECTED step whose cost change is below ftol means the iterate
+        # is numerically stalled at a minimum (the strict `<` acceptance
+        # can reject zero-progress steps forever, escalating lambda to
+        # give_up and mislabeling a perfectly converged solve).
+        fconv_stall = (~accept) & (jnp.abs(cost_try - st.cost)
+                                   <= ftol * fscale)
+        fconv = fconv_accept | fconv_stall
         gconv = jnp.max(jnp.abs(g)) <= gtol
-        converged = gconv | fconv | (accept & step_small)
-        give_up = lam > config.lambda_max
+        # The bootstrap iteration (st.cost == inf, zero J/g/dx — see the
+        # lazy init above) must not trip any stopping test.
+        bootstrap = ~jnp.isfinite(st.cost)
+        converged = (gconv | fconv | (accept & step_small)) & ~bootstrap
+        give_up = (lam > config.lambda_max) & ~bootstrap
         n_iters = st.n_iters + 1
-        done = converged | give_up | (n_iters >= config.maxiter)
+        # maxiter + 1 loop trips: the bootstrap trip only evaluates r(x0).
+        done = converged | give_up | (n_iters >= config.maxiter + 1)
 
         return _State(x=x_new, r=r_new, J=J_new, cost=cost_new, lam=lam,
                       n_iters=n_iters, n_evals=st.n_evals + 1,
@@ -151,5 +175,5 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
 
     final = jax.lax.while_loop(cond, body, init)
     return LMResult(x=final.x, f=final.cost, grad=2.0 * (final.J.T @ final.r),
-                    n_iters=final.n_iters, n_evals=final.n_evals,
+                    r=final.r, n_iters=final.n_iters, n_evals=final.n_evals,
                     converged=final.converged)

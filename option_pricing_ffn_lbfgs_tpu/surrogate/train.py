@@ -113,6 +113,23 @@ def fit(features: np.ndarray, targets: np.ndarray,
     call's data only when training from scratch; fine-tuning keeps the
     pretrained scalers so the feature/target spaces stay consistent.
     """
+    # Guard against NaN/Inf rows (e.g. failed calibrations fed as finetune
+    # targets — inverse_transform of non-finite params is NaN and a single
+    # such row poisons every minibatch it lands in; this silently zeroed out
+    # the round-2 finetune stage, see results/models/training_history.json
+    # history). Drop them loudly rather than train on garbage.
+    finite = (np.isfinite(features).all(axis=1)
+              & np.isfinite(targets).all(axis=1))
+    n_bad = int((~finite).sum())
+    if n_bad:
+        import logging
+        logging.getLogger(__name__).warning(
+            "fit(): dropping %d/%d non-finite training rows", n_bad,
+            features.shape[0])
+        features, targets = features[finite], targets[finite]
+    if features.shape[0] < 2:
+        raise ValueError("fit(): fewer than 2 finite training rows")
+
     rng = np.random.default_rng(config.seed)
     n = features.shape[0]
     perm = rng.permutation(n)
@@ -154,6 +171,14 @@ def fit(features: np.ndarray, targets: np.ndarray,
                                                     xb, yb, ekey)
         val = float(eval_loss(variables, jnp.asarray(x_val),
                               jnp.asarray(y_val)))
+        if not (np.isfinite(float(tr_loss)) and np.isfinite(val)):
+            # A NaN epoch means diverged optimization or bad data that the
+            # row filter above missed — failing loudly beats the round-2
+            # failure mode (10 silently-logged NaN epochs returning the
+            # init weights as "trained").
+            raise FloatingPointError(
+                f"fit(): non-finite loss at epoch {epoch} "
+                f"(train={float(tr_loss)}, val={val})")
         hist["train_loss"].append(float(tr_loss))
         hist["val_loss"].append(val)
         if verbose:

@@ -108,11 +108,30 @@ def main():
           f"{int(np.asarray(out.converged).sum())}/{args.n_finetune} "
           f"converged, {time.time()-t0:.1f}s", flush=True)
     # Finetune dataset: features from the market surface, TARGETS = what the
-    # calibrator actually returned (docs/METHODOLOGY.md:100-110).
-    fine_calibrated = fine._replace(
-        params=jnp.asarray(calib_params, f32),
-        model_prices=jnp.asarray(out.model_prices, f32),
-        losses=jnp.asarray(out.loss, f32))
+    # calibrator actually returned (docs/METHODOLOGY.md:100-110) — but only
+    # the SUCCESSFUL calibrations, like the reference's "500 actual L-BFGS
+    # calibrations" (all successful, results/lbfgs_actual_results.json
+    # success_rate=1.0). Round 2 fed all rows including non-converged ones
+    # whose non-finite params turned every finetune minibatch NaN.
+    conv = np.asarray(out.converged)
+    loss_np = np.asarray(out.loss, np.float64)
+    keep = (conv & np.isfinite(calib_params).all(axis=1)
+            & np.isfinite(loss_np) & (loss_np < 1.0))
+    n_keep = int(keep.sum())
+    print(f"      keeping {n_keep}/{args.n_finetune} converged+finite "
+          f"calibrations as finetune targets", flush=True)
+    if n_keep < 100:
+        raise RuntimeError(
+            f"only {n_keep} usable finetune calibrations — investigate "
+            "before training")
+    fine_calibrated = SyntheticDataset(
+        params=jnp.asarray(calib_params[keep], f32),
+        spots=fine.spots[keep],
+        strikes=fine.strikes[keep],
+        maturities=fine.maturities[keep],
+        model_prices=jnp.asarray(np.asarray(out.model_prices)[keep], f32),
+        market_prices=fine.market_prices[keep],
+        losses=jnp.asarray(loss_np[keep], f32))
 
     print("[3/4] stage-1 pretraining...", flush=True)
     t0 = time.time()
