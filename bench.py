@@ -76,23 +76,53 @@ def build_problem(dtype):
     bs = jnp.broadcast_to(jnp.asarray(strikes, dtype), (N_SURFACES, 15))
     bm = jnp.broadcast_to(jnp.asarray(mats, dtype), (N_SURFACES, 15))
     bc = jnp.ones((N_SURFACES, 15), bool)
-    # Ground-truth prices are benchmark SETUP, not the measured program —
-    # compute them on the host CPU backend, where float64 is native and the
-    # pricer compiles in seconds. On TPU the same f64 program is
-    # x64-emulated and costs minutes of XLA compile (it was a hidden chunk
-    # of the round-2 359 s bench compile; results/compile_breakdown.json).
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        prices_cpu = jax.jit(jax.vmap(
-            lambda s, v: price_options(DHParams.from_vector(v), s, 0.03,
-                                       jnp.asarray(strikes, dtype),
-                                       jnp.asarray(mats, dtype),
-                                       jnp.ones(15, bool))))(
-            jax.device_put(spots, cpu),
-            jax.device_put(jnp.asarray(true, dtype), cpu))
-    prices = jax.device_put(np.asarray(prices_cpu))
+    # Ground-truth prices are benchmark SETUP, not the measured program.
+    # They are computed at native float64 in a CPU SUBPROCESS: (a) the same
+    # program x64-EMULATED on TPU costs minutes of XLA compile, and (b)
+    # touching the CPU backend inside the TPU process degrades every
+    # subsequent TPU dispatch ~50-90x on the axon tunnel (measured
+    # 2026-08-19: identical search program 2.8 ms vs 106 ms steady with/
+    # without prior jax.devices("cpu") use) — the TPU process must stay
+    # pure.
+    prices = jnp.asarray(_price_truth_cpu_subprocess(true, strikes, mats),
+                         dtype)
     keys = jax.random.split(jax.random.key(0), N_SURFACES)
     return spots, bs, bm, bc, prices, keys
+
+
+def _price_truth_cpu_subprocess(true, strikes, mats):
+    """Price the ground-truth surfaces at float64 in a fresh CPU-only
+    python subprocess (see build_problem for why not in-process)."""
+    import json as _json
+    import subprocess
+    import sys
+    payload = _json.dumps({"true": np.asarray(true).tolist(),
+                           "strikes": strikes.tolist(),
+                           "mats": mats.tolist()})
+    code = (
+        "import sys, json, os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['JAX_PLATFORM_NAME'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from option_pricing_ffn_lbfgs_tpu.models.double_heston import (\n"
+        "    DHParams, price_options)\n"
+        "d = json.loads(sys.stdin.read())\n"
+        "true = jnp.asarray(d['true']); k = jnp.asarray(d['strikes'])\n"
+        "m = jnp.asarray(d['mats'])\n"
+        "out = jax.vmap(lambda v: price_options(\n"
+        "    DHParams.from_vector(v), 100.0, 0.03, k, m,\n"
+        "    jnp.ones(k.shape[0], bool)))(true)\n"
+        "print(json.dumps(np.asarray(out).tolist()))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    out = subprocess.run([sys.executable, "-c", code], input=payload,
+                         capture_output=True, text=True, env=env,
+                         cwd=os.path.dirname(os.path.abspath(__file__)),
+                         check=True)
+    return np.asarray(_json.loads(out.stdout.strip().splitlines()[-1]))
 
 
 def run(dtype_name):
@@ -119,9 +149,14 @@ def run(dtype_name):
     t0 = time.time()
     out = jax.block_until_ready(go())        # compile + first run
     compile_s = time.time() - t0
-    t0 = time.time()
-    out = jax.block_until_ready(go())        # steady state
-    steady_s = time.time() - t0
+    # Median of 3 steady-state runs (the axon tunnel occasionally lands a
+    # slow dispatch; a single sample is too noisy for the headline).
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        out = jax.block_until_ready(go())
+        runs.append(time.time() - t0)
+    steady_s = float(np.median(runs))
 
     rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
                  / np.asarray(prices))

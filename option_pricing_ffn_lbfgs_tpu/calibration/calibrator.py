@@ -135,9 +135,9 @@ POLISH_LBFGS = LBFGSConfig(maxiter=60, ftol=1e-14, gtol=1e-10)
 # Default polish: Levenberg–Marquardt on the residual vector. Near the
 # optimum the objective is a well-conditioned 13-param least-squares problem,
 # so LM converges quadratically in ~5-10 iterations AND its fixed-structure
-# loop compiles to a far smaller XLA program than the Wolfe line-search state
-# machine — the difference between ~243 s and ~tens of seconds of XLA:TPU
-# compile for the f64-emulated polish (measured on TPU v5e, 2026-08-19).
+# loop compiles to a far smaller XLA program than the Wolfe line-search
+# state machine (phase-wise compile/runtime measurements:
+# results/compile_breakdown.json).
 POLISH_LM = LMConfig(maxiter=40, ftol=1e-15, gtol=1e-11)
 
 
@@ -149,10 +149,10 @@ def _polish_core_lm(spot, rate, strikes, maturities, is_call, market_prices,
 
       * ``polish.residual_impl == "dd"`` (default): residuals come from the
         double-float (two-float32) pricer — the whole polish program is
-        float32-only XLA, which compiles in tens of seconds (the
-        x64-emulated pricer alone costs 170-330 s of compile on v5e) and
-        runs at hardware speed, with ~1e-13 pricing accuracy (enough for
-        the 1e-15 ftol floor of a relative-MSE loss);
+        float32-only XLA (the x64-emulated pricer alone costs 170-330 s of
+        compile on v5e; DD phase numbers in results/compile_breakdown.json)
+        and runs at hardware speed, with ~1e-12 worst-case pricing parity
+        (enough for the 1e-15 ftol floor of a relative-MSE loss);
       * ``"native"``: residuals at the enclosing dtype (float64 under x64;
         TPU-emulated) — the parity/fallback mode;
       * ``polish.f32_jacobian`` (default): the 13-tangent Jacobian runs on

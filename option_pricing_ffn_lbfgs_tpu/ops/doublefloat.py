@@ -6,8 +6,8 @@ f64-emulated COS pricer costs 170-330 s of XLA compile on a v5e (measured
 2026-08-19) even though it RUNS in milliseconds. A number represented as an
 unevaluated sum ``hi + lo`` of two float32s carries ~49 mantissa bits
 (~1.5e-15 relative) — enough for the calibration polish's ftol=1e-15 loss
-floor — while every op stays native float32: the same polish program
-compiles in tens of seconds and runs at hardware speed.
+floor — while every op stays native float32. Measured compile/runtime for
+the resulting polish program: results/compile_breakdown.json.
 
 This replaces the reference's implicit NumPy float64
 (/root/reference/src/models/double_heston.py — all math in complex128) with

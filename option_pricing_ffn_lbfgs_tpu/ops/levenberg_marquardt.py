@@ -13,10 +13,10 @@ problem's least-squares structure. This module exploits it:
     ``(J^T J + lam * diag(J^T J)) dx = -J^T r`` (Marquardt scaling) by
     Cholesky and accepts/rejects on true cost decrease;
   * the whole solver is one ``lax.while_loop`` — jit/vmap-safe, no nested
-    line-search state machine, so its XLA program is tiny. On TPU this is
-    what makes a float64(-emulated) polish affordable: measured compile time
-    drops from ~243 s (Wolfe L-BFGS polish) to ~tens of seconds, and the
-    quadratic local convergence needs ~5-10 iterations instead of ~60.
+    line-search state machine, so its XLA program is small. On TPU this is
+    what makes a high-precision polish affordable (phase-wise compile
+    numbers: results/compile_breakdown.json), and the quadratic local
+    convergence needs ~5-10 iterations instead of ~60.
 
 Failure handling is implicit and branch-free: a non-finite trial cost (bad
 parameter region, Cholesky breakdown propagating NaN) simply rejects the

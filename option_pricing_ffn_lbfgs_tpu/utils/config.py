@@ -49,10 +49,10 @@ class LMConfig:
     Used for the high-precision polish phase: the calibration objective is a
     least-squares problem (15 relative pricing residuals + 2 Feller-penalty
     residuals over 13 parameters), so near the optimum Gauss–Newton steps
-    converge quadratically — a handful of (emulated-f64) iterations replace
+    converge quadratically — a handful of high-precision iterations replace
     ~60 Wolfe L-BFGS iterations, and the fixed-structure loop compiles to a
     far smaller XLA program than the bracketing/zoom line-search state
-    machine (measured on TPU v5e: 243 s -> tens of seconds of compile).
+    machine (phase-wise measurements: results/compile_breakdown.json).
     """
     maxiter: int = 40
     ftol: float = 1e-14        # relative cost-reduction stop
@@ -72,7 +72,8 @@ class LMConfig:
     # Residual implementation for the high-precision phase:
     #   "dd"     — double-float (two-float32) pricer
     #              (models/double_heston_dd.py): float32-only XLA program,
-    #              compiles in tens of seconds, ~1e-13 pricing accuracy;
+    #              ~1e-12 worst-case pricing parity; compile/runtime in
+    #              results/compile_breakdown.json;
     #   "native" — residuals at the enclosing dtype (float64 when x64 is
     #              on; XLA:TPU emulates it — 170-330 s compile, kept as the
     #              parity/fallback mode).
