@@ -83,46 +83,13 @@ def build_problem(dtype):
     # subsequent TPU dispatch ~50-90x on the axon tunnel (measured
     # 2026-08-19: identical search program 2.8 ms vs 106 ms steady with/
     # without prior jax.devices("cpu") use) — the TPU process must stay
-    # pure.
-    prices = jnp.asarray(_price_truth_cpu_subprocess(true, strikes, mats),
-                         dtype)
+    # pure. See option_pricing_ffn_lbfgs_tpu/utils/hostpricer.py.
+    from option_pricing_ffn_lbfgs_tpu.utils.hostpricer import (
+        price_truth_subprocess)
+    prices = jnp.asarray(price_truth_subprocess(
+        true, np.full(N_SURFACES, 100.0), strikes, mats), dtype)
     keys = jax.random.split(jax.random.key(0), N_SURFACES)
     return spots, bs, bm, bc, prices, keys
-
-
-def _price_truth_cpu_subprocess(true, strikes, mats):
-    """Price the ground-truth surfaces at float64 in a fresh CPU-only
-    python subprocess (see build_problem for why not in-process)."""
-    import json as _json
-    import subprocess
-    import sys
-    payload = _json.dumps({"true": np.asarray(true).tolist(),
-                           "strikes": strikes.tolist(),
-                           "mats": mats.tolist()})
-    code = (
-        "import sys, json, os\n"
-        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
-        "os.environ['JAX_PLATFORM_NAME'] = 'cpu'\n"
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "jax.config.update('jax_enable_x64', True)\n"
-        "import numpy as np, jax.numpy as jnp\n"
-        "from option_pricing_ffn_lbfgs_tpu.models.double_heston import (\n"
-        "    DHParams, price_options)\n"
-        "d = json.loads(sys.stdin.read())\n"
-        "true = jnp.asarray(d['true']); k = jnp.asarray(d['strikes'])\n"
-        "m = jnp.asarray(d['mats'])\n"
-        "out = jax.vmap(lambda v: price_options(\n"
-        "    DHParams.from_vector(v), 100.0, 0.03, k, m,\n"
-        "    jnp.ones(k.shape[0], bool)))(true)\n"
-        "print(json.dumps(np.asarray(out).tolist()))\n"
-    )
-    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
-    out = subprocess.run([sys.executable, "-c", code], input=payload,
-                         capture_output=True, text=True, env=env,
-                         cwd=os.path.dirname(os.path.abspath(__file__)),
-                         check=True)
-    return np.asarray(_json.loads(out.stdout.strip().splitlines()[-1]))
 
 
 def run(dtype_name):

@@ -18,9 +18,9 @@ def build(b, dtype):
     import jax
     import jax.numpy as jnp
     from option_pricing_ffn_lbfgs_tpu.data.synthetic import sample_paths
-    from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
-        DHParams, price_options)
     from option_pricing_ffn_lbfgs_tpu.utils.config import GeneratorConfig
+    from option_pricing_ffn_lbfgs_tpu.utils.hostpricer import (
+        price_truth_subprocess)
 
     cfg = GeneratorConfig(n_samples=b)
     params, spots = sample_paths(jax.random.key(7), cfg, dtype)
@@ -29,9 +29,13 @@ def build(b, dtype):
     mats = jnp.broadcast_to(
         jnp.asarray(np.repeat([0.25, 0.5, 1.0], 5), dtype), strikes.shape)
     is_call = jnp.ones_like(strikes, bool)
-    prices = jax.vmap(lambda p, s, k, m: price_options(
-        DHParams.from_vector(p), s, 0.03, k, m, jnp.ones(15, bool)))(
-        params, spots, strikes, mats)
+    # Noiseless f64 targets from the host subprocess (see hostpricer.py —
+    # neither x64-emulated TPU pricing nor in-process CPU-backend use is
+    # acceptable in the measured TPU process).
+    prices = jnp.asarray(price_truth_subprocess(
+        np.asarray(params, np.float64), np.asarray(spots, np.float64),
+        np.asarray(strikes, np.float64), np.asarray(mats, np.float64)),
+        dtype)
     keys = jax.random.split(jax.random.key(1), b)
     return spots, strikes, mats, is_call, prices, keys
 
@@ -41,6 +45,8 @@ def main():
     ap.add_argument("--batches", default="8,64,256,1024")
     ap.add_argument("--modes", default="f32,mixed")
     ap.add_argument("--starts", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="optional JSON file (e.g. results/scaling.json)")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +83,13 @@ def main():
                    "mean_error_pct": round(float(rel), 5)}
             results.append(row)
             print(json.dumps(row), flush=True)
+    if args.out:
+        import os
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"device": str(jax.devices()[0]),
+                       "n_starts": args.starts,
+                       "results": results}, f, indent=2)
     return results
 
 

@@ -62,7 +62,13 @@ DD = Tuple[jnp.ndarray, jnp.ndarray]
 
 # Integer mask clearing the low 12 stored-mantissa bits of a float32:
 # keeps sign + exponent + 11 stored (12 significant) mantissa bits.
-_SPLIT_MASK = ~jnp.uint32(0xFFF)
+# MUST be host numpy, not jnp: this module is sometimes first imported
+# inside an active jit trace (lazy import in the DD residual closure), and
+# a module-level jnp op would capture that trace's tracer and leak it into
+# every later trace.
+import numpy as _np  # noqa: E402
+
+_SPLIT_MASK = _np.uint32(0xFFFFF000)
 
 
 def _pin(x):

@@ -114,3 +114,88 @@ def test_errors_meet_target():
     with open(LBFGS_JSON) as f:
         d = json.load(f)
     assert d["statistics"]["mean_error"] <= 0.03
+
+
+# ---------------------------------------------------------------------------
+# Committed model artifacts (the reference suite validates ITS shipped model
+# the same way, /root/reference/tests/test_suite.py:150-184)
+# ---------------------------------------------------------------------------
+
+MODEL_PKL = os.path.join(RESULTS_DIR, "models", "ffn_surrogate.pkl")
+SCALERS_PKL = os.path.join(RESULTS_DIR, "data", "scalers.pkl")
+HISTORY_JSON = os.path.join(RESULTS_DIR, "models", "training_history.json")
+
+model_mark = pytest.mark.skipif(
+    not os.path.exists(MODEL_PKL),
+    reason="trained surrogate not generated yet (TPU training run)")
+
+
+@model_mark
+def test_committed_surrogate_dims_and_finiteness():
+    """11 features -> 13 params, >10k parameters, all weights finite."""
+    import jax
+    from option_pricing_ffn_lbfgs_tpu.surrogate.train import load_surrogate
+    s = load_surrogate(MODEL_PKL)
+    leaves = jax.tree.leaves(s.variables)
+    n_params = sum(int(np.size(l)) for l in leaves)
+    assert n_params > 10_000
+    for leaf in leaves:
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert s.feature_scaler.mean_.shape[-1] == 11
+    assert s.target_scaler.mean_.shape[-1] == 13
+
+
+@model_mark
+def test_committed_scalers_roundtrip():
+    from option_pricing_ffn_lbfgs_tpu.surrogate.scalers import load_scalers
+    fs, ts = load_scalers(SCALERS_PKL)
+    assert fs.mean_.shape[-1] == 11 and ts.mean_.shape[-1] == 13
+    x = np.linspace(0.0, 1.0, 11)[None, :]
+    np.testing.assert_allclose(
+        np.asarray(fs.inverse_transform(fs.transform(x))), x, atol=1e-5)
+
+
+@model_mark
+def test_committed_surrogate_smoke_prediction():
+    """FFN-only prediction on a fresh in-distribution surface must price
+    within 10% mean relative error (the reference's shipped FFN measured
+    11.25%; ours measured ~1.7-3%)."""
+    import jax.numpy as jnp
+    from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
+        DHParams, price_options)
+    from option_pricing_ffn_lbfgs_tpu.surrogate.train import load_surrogate
+    s = load_surrogate(MODEL_PKL)
+    rng = np.random.default_rng(123)
+    ranges = [(0.025, 0.080), (1.5, 4.5), (0.025, 0.065), (0.20, 0.50),
+              (-0.85, -0.40), (0.020, 0.070), (0.30, 1.20), (0.025, 0.070),
+              (0.10, 0.35), (-0.70, -0.20), (0.05, 0.25), (-0.08, -0.01),
+              (0.03, 0.12)]
+    true = jnp.asarray([rng.uniform(lo, hi) for lo, hi in ranges])
+    strikes = jnp.asarray(np.tile([90., 95., 100., 105., 110.], 3))
+    mats = jnp.asarray(np.repeat([0.25, 0.5, 1.0], 5))
+    calls = jnp.ones(15, bool)
+    market = price_options(DHParams.from_vector(true), 100.0, 0.03,
+                           strikes, mats, calls)
+    pred = s.predict_params(np.asarray(market)[None, :],
+                            np.asarray([100.0]))
+    model = price_options(DHParams.from_vector(jnp.asarray(pred)[0]),
+                          100.0, 0.03, strikes, mats, calls)
+    rel = np.abs(np.asarray(model) / np.asarray(market) - 1)
+    assert np.isfinite(rel).all()
+    assert rel.mean() < 0.10
+
+
+@model_mark
+def test_training_history_finite_and_two_stage():
+    """Both stages must show finite losses end-to-end — the round-2
+    committed history logged NaN for every finetune epoch (the model was
+    silently pretrain-only)."""
+    with open(HISTORY_JSON) as f:
+        h = json.load(f)
+    for stage in ("pretrain", "finetune"):
+        assert stage in h, f"missing {stage} history"
+        tl = np.asarray(h[stage]["train_loss"], dtype=float)
+        vl = np.asarray(h[stage]["val_loss"], dtype=float)
+        assert tl.size > 0 and vl.size > 0
+        assert np.isfinite(tl).all(), f"{stage} train_loss has NaN/Inf"
+        assert np.isfinite(vl).all(), f"{stage} val_loss has NaN/Inf"
