@@ -76,9 +76,42 @@ def cexp(a: Cplx) -> Cplx:
     return e * jnp.cos(ai), e * jnp.sin(ai)
 
 
+def arctan2_poly(y, x):
+    """Branchless polynomial atan2 (float32-grade, ~1e-7 abs error).
+
+    For contexts where ``lax.atan2`` is unavailable — Pallas TPU (Mosaic)
+    has no atan2 lowering. Classic single-precision scheme: reduce to
+    t = min/max in [0, 1], Cephes atanf odd polynomial on [0, 0.414] with
+    the pi/4 fold for (0.414, 1], then quadrant fix-ups via where.
+    """
+    dt = jnp.result_type(y, x)
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.where(hi == 0, jnp.asarray(1.0, dt), hi)  # [0, 1]
+    # fold (0.4142, 1] -> [-0.17, 0.414] via atan(t) = pi/4 + atan((t-1)/(t+1))
+    fold = t > 0.4142135623730951
+    z_arg = jnp.where(fold, (t - 1.0) / (t + 1.0), t)
+    z2 = z_arg * z_arg
+    p = (((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2
+          + 1.99777106478e-1) * z2 - 3.33329491539e-1) * z2 * z_arg + z_arg
+    r = jnp.where(fold, jnp.asarray(0.7853981633974483, dt) + p, p)
+    # undo min/max swap: atan(ay/ax) when ay > ax is pi/2 - r
+    r = jnp.where(ay > ax, jnp.asarray(1.5707963267948966, dt) - r, r)
+    # quadrant by sign of x, then sign of y
+    r = jnp.where(x < 0, jnp.asarray(3.141592653589793, dt) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+# atan2 implementation hook: jnp.arctan2 by default; the Pallas kernel
+# (ops/cos_pallas.py) swaps in arctan2_poly at trace time because Mosaic
+# has no atan2 lowering.
+_ARCTAN2 = [jnp.arctan2]
+
+
 def clog(a: Cplx) -> Cplx:
     """Principal branch: log|a| + i*atan2(im, re) — matches np.log(complex)."""
-    return jnp.log(cabs(a)), jnp.arctan2(a[1], a[0])
+    return jnp.log(cabs(a)), _ARCTAN2[0](a[1], a[0])
 
 
 def csqrt(a: Cplx) -> Cplx:

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.double_heston import (
     DHParams, char_fn, payoff_coefficients, truncation_range)
+from ..ops import complex_math as _cm
 
 LANE = 128
 SUBLANE = 8
@@ -43,52 +44,51 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _price_tile(params_vec, spots, rate, strikes, mats, is_call, valid,
-                n_opt_pad, n_terms):
-    """Price TILE_B surfaces: pure jnp math on loaded values.
+def _price_tile(params, spot, rate, strike, tau, is_call, valid, n_terms):
+    """Price one tile of F flattened (surface, option) rows.
 
-    params_vec: [TILE_B, 13]; strikes/mats/is_call/valid: [TILE_B, n_opt_pad].
-    Returns [TILE_B, n_opt_pad] prices (garbage-masked-to-0 on padding).
+    All per-row inputs arrive PRE-FLATTENED by the host as [F, 1] columns
+    (params as [F, 13]) — Mosaic cannot lower cross-sublane/lane reshapes
+    like [8,16]->[128], so no rank or shape changes happen inside the
+    kernel; every op is [F,1] or [F,N] elementwise/broadcast/reduce.
+    Returns [F, 1] prices (masked to 0 on padding rows).
     """
-    tile_b = params_vec.shape[0]
-    flat = (tile_b * n_opt_pad,)
-    # Broadcast per-surface params onto the flattened option axis.
-    p = DHParams(*(jnp.repeat(params_vec[:, i], n_opt_pad, axis=0)
-                   for i in range(13)))
-    spot = jnp.repeat(spots, n_opt_pad, axis=0)            # [F]
-    k_flat = strikes.reshape(flat)[:, None]                # [F,1]
-    t_flat = mats.reshape(flat)[:, None]
-    c_flat = is_call.reshape(flat)[:, None]
-    v_flat = valid.reshape(flat)
-    # Guard padding lanes: maturities of 0 etc. produce NaN; use benign
-    # values there and mask at the end.
-    safe_t = jnp.where(v_flat[:, None], t_flat, 1.0)
-    safe_k = jnp.where(v_flat[:, None], k_flat, spot[:, None])
+    f = spot.shape[0]
+    p = DHParams(*(params[:, i:i + 1] for i in range(13)))  # [F,1] fields
+    # Guard padding rows: benign values in, mask out.
+    safe_t = jnp.where(valid, tau, 1.0)
+    safe_k = jnp.where(valid, strike, spot)
 
-    pp = DHParams(*(f[:, None] for f in p))                # [F,1] fields
-    a, b = truncation_range(pp, safe_t, safe_k, spot[:, None], rate)  # [F,1]
-    log_k = jnp.log(safe_k / spot[:, None])
-    k_idx = jax.lax.broadcasted_iota(jnp.float32, (flat[0], n_terms), 1)
+    a, b = truncation_range(p, safe_t, safe_k, spot, rate)  # [F,1]
+    log_k = jnp.log(safe_k / spot)
+    # Mosaic's tpu.iota is integer-only; build int32 and convert.
+    k_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (f, n_terms), 1).astype(jnp.float32)
     u = k_idx * (math.pi / (b - a))                        # [F,N]
-    phi_re, phi_im = char_fn(u, safe_t, pp, rate)          # [F,N]
-    v = payoff_coefficients(k_idx, a, b, log_k, spot[:, None], safe_k,
-                            c_flat)
+    phi_re, phi_im = char_fn(u, safe_t, p, rate)           # [F,N]
+    v = payoff_coefficients(k_idx, a, b, log_k, spot, safe_k, is_call)
     ua = u * a
     terms = (phi_re * jnp.cos(ua) + phi_im * jnp.sin(ua)) * v
     w = jnp.where(k_idx == 0, 0.5, 1.0)
-    series = jnp.sum(terms * w, axis=-1)                   # [F]
-    price = jnp.exp(-rate * safe_t[:, 0]) * series
-    price = jnp.where(v_flat, price, 0.0)
-    return price.reshape(tile_b, n_opt_pad)
+    series = jnp.sum(terms * w, axis=-1, keepdims=True)    # [F,1]
+    price = jnp.exp(-rate * safe_t) * series
+    return jnp.where(valid, price, 0.0)
 
 
 def _kernel(rate_ref, params_ref, spots_ref, strikes_ref, mats_ref,
-            call_ref, valid_ref, out_ref, *, n_opt_pad, n_terms):
-    out_ref[:, :] = _price_tile(
-        params_ref[:, :], spots_ref[:, 0], rate_ref[0],
-        strikes_ref[:, :], mats_ref[:, :],
-        call_ref[:, :] != 0, valid_ref[:, :] != 0,
-        n_opt_pad, n_terms)
+            call_ref, valid_ref, out_ref, *, n_terms):
+    # Mosaic has no atan2 lowering; swap the f32-grade polynomial into
+    # complex_math.clog for the duration of the kernel trace (trace-time
+    # only — the XLA path keeps lax.atan2).
+    prev = _cm._ARCTAN2[0]
+    _cm._ARCTAN2[0] = _cm.arctan2_poly
+    try:
+        out_ref[:, :] = _price_tile(
+            params_ref[:, :], spots_ref[:, :], rate_ref[0],
+            strikes_ref[:, :], mats_ref[:, :],
+            call_ref[:, :] != 0, valid_ref[:, :] != 0, n_terms)
+    finally:
+        _cm._ARCTAN2[0] = prev
 
 
 @partial(jax.jit,
@@ -109,37 +109,44 @@ def price_surfaces_pallas(params, spots, rate, strikes, maturities, is_call,
     b, n_opt = strikes.shape
     n_opt_pad = _round_up(n_opt, SUBLANE)
     b_pad = _round_up(b, tile_b)
+    tile_f = tile_b * n_opt_pad      # flattened rows per kernel program
+    n_flat = b_pad * n_opt_pad
 
-    def pad(x, val=0.0):
-        return jnp.pad(jnp.asarray(x, f32),
-                       ((0, b_pad - b), (0, n_opt_pad - n_opt)),
-                       constant_values=val)
+    # Host-side flatten: the kernel works on [(surface, option), 1] rows
+    # because Mosaic cannot reshape across sublane/lane boundaries inside
+    # the kernel. XLA handles these cheap layout ops once, outside.
+    def flat_col(x, val):
+        xp = jnp.pad(jnp.asarray(x, f32),
+                     ((0, b_pad - b), (0, n_opt_pad - n_opt)),
+                     constant_values=val)
+        return xp.reshape(n_flat, 1)
 
-    params_p = jnp.pad(jnp.asarray(params, f32), ((0, b_pad - b), (0, 0)))
-    spots_p = jnp.pad(jnp.asarray(spots, f32)[:, None],
-                      ((0, b_pad - b), (0, 0)), constant_values=1.0)
-    strikes_p = pad(strikes, 1.0)
-    mats_p = pad(maturities, 1.0)
-    call_p = jnp.pad(jnp.asarray(is_call, jnp.int32),
-                     ((0, b_pad - b), (0, n_opt_pad - n_opt)))
-    valid = jnp.pad(jnp.ones((b, n_opt), jnp.int32),
-                    ((0, b_pad - b), (0, n_opt_pad - n_opt)))
+    params_p = jnp.repeat(
+        jnp.pad(jnp.asarray(params, f32), ((0, b_pad - b), (0, 0))),
+        n_opt_pad, axis=0)                                   # [n_flat, 13]
+    spots_p = jnp.repeat(
+        jnp.pad(jnp.asarray(spots, f32), (0, b_pad - b),
+                constant_values=1.0), n_opt_pad)[:, None]    # [n_flat, 1]
+    strikes_p = flat_col(strikes, 1.0)
+    mats_p = flat_col(maturities, 1.0)
+    call_p = flat_col(jnp.asarray(is_call, f32), 0.0)
+    valid = flat_col(jnp.ones((b, n_opt), f32), 0.0)
     rate_arr = jnp.asarray([rate], f32)
 
-    grid = (b_pad // tile_b,)
+    grid = (n_flat // tile_f,)
     row_spec = lambda width: pl.BlockSpec(
-        (tile_b, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        (tile_f, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_kernel, n_opt_pad=n_opt_pad, n_terms=n_terms),
+        partial(_kernel, n_terms=n_terms),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # rate
             row_spec(13), row_spec(1),
-            row_spec(n_opt_pad), row_spec(n_opt_pad),
-            row_spec(n_opt_pad), row_spec(n_opt_pad),
+            row_spec(1), row_spec(1),
+            row_spec(1), row_spec(1),
         ],
-        out_specs=row_spec(n_opt_pad),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_opt_pad), f32),
+        out_specs=row_spec(1),
+        out_shape=jax.ShapeDtypeStruct((n_flat, 1), f32),
         interpret=interpret,
     )(rate_arr, params_p, spots_p, strikes_p, mats_p, call_p, valid)
-    return out[:b, :n_opt]
+    return out.reshape(b_pad, n_opt_pad)[:b, :n_opt]
