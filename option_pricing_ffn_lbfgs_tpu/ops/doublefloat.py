@@ -352,20 +352,31 @@ _EXP_MAX_TERMS = 14
 def _dd_coef_table(values):
     """Split Python floats into a [terms, 2] float32 DD table (hi, lo).
 
-    Taylor evaluations run as fully-unrolled ``lax.scan``s over these
-    tables. Why scan at all: the coefficient slices stay runtime values so
-    algsimp cannot fold them out of the EFT chains. Why unroll: a rolled
-    TPU loop costs ~10 us per step, and with ~25 transcendental call sites
-    x 8-14 steps per pricer evaluation that measured ~35 ms per polish —
-    65x the entire round-2 mixed calibration. Unrolled, the loop overhead
-    vanishes; the compile-size cost is bounded and the remaining compile
-    wall is handled by the persistent XLA compilation cache (bench.py).
+    Taylor evaluations run as ``lax.scan``s over these tables. Why scan at
+    all: the coefficient slices stay runtime values so algsimp cannot fold
+    them out of the EFT chains. The unroll choice is per-backend
+    (``_taylor_unroll``).
     """
     import numpy as _np
     v64 = _np.asarray(values, _np.float64)
     hi = _np.asarray(v64, _np.float32)
     lo = _np.asarray(v64 - hi, _np.float32)
     return _np.stack([hi, lo], axis=-1)
+
+
+def _taylor_unroll() -> bool:
+    """Unroll the Taylor scans on accelerators, keep them rolled on CPU.
+
+    On TPU a rolled loop costs ~10 us per step; with ~25 transcendental
+    call sites x 8-14 steps per pricer evaluation that measured ~35 ms per
+    LM polish — 65x the entire round-2 mixed calibration — so unrolling is
+    mandatory there (the compile-size cost is absorbed once by the
+    persistent XLA compilation cache, see bench.py). On CPU the tradeoff
+    inverts: loop steps cost nanoseconds while compiling the fully
+    unrolled DD pricer takes tens of minutes (measured: the default pytest
+    suite went from ~9 min to 44+ min), so the scans stay rolled.
+    """
+    return jax.default_backend() != "cpu"
 
 
 def _pow2(k):
@@ -452,7 +463,7 @@ def _exp_taylor(r: DD) -> DD:
 
     init = (jnp.ones_like(r[0]), jnp.zeros_like(r[0]))
     acc, _ = _jax.lax.scan(body, init, jnp.asarray(_EXP_COEFS),
-                           unroll=True)
+                           unroll=_taylor_unroll())
     return acc
 
 
@@ -496,7 +507,7 @@ def _sin_taylor(r: DD) -> DD:
         return sub(one, mul(mul(r2, (c[0], c[1])), acc)), None
 
     acc, _ = _jax.lax.scan(body, init, jnp.asarray(_SIN_COEFS),
-                           unroll=True)
+                           unroll=_taylor_unroll())
     return mul(r, acc)
 
 
@@ -511,7 +522,7 @@ def _cos_taylor(r: DD) -> DD:
         return sub(one, mul(mul(r2, (c[0], c[1])), acc)), None
 
     acc, _ = _jax.lax.scan(body, init, jnp.asarray(_COS_COEFS),
-                           unroll=True)
+                           unroll=_taylor_unroll())
     return sub(one, mul(mul_f(r2, jnp.float32(0.5)), acc))
 
 
