@@ -5,13 +5,16 @@ Protocol mirrors the reference's headline benchmark
 surface, 3 starts, maxiter 300, Apple M1: mean 117.8 s/calibration at
 0.0236 % mean relative pricing error):
 
-  * 5 synthetic surfaces with ground-truth parameters drawn from the
+  * 5-surface problem sets with ground-truth parameters drawn from the
     generator's empirical market ranges (synthetic_generator.py:75-89),
     noiseless prices (the achievable-precision protocol);
-  * all 5 calibrated in ONE jitted device program (vmapped multi-start
-    L-BFGS, autodiff gradients), steady-state timed after a warmup compile;
-  * float32 fast path first; if its mean error misses the <=0.03 % target,
-    rerun in (TPU-emulated) float64 and report that.
+  * each problem set is calibrated in ONE jitted device program (vmapped
+    multi-start L-BFGS search in f32 + per-start double-float LM polish);
+  * TIMING IS THE AUDITED CHAINED PROTOCOL (utils/timing.py): N back-to-back
+    dispatches over FRESH problem sets, closed by a forced device->host
+    fetch, divided by N. ``jax.block_until_ready`` alone is NOT a barrier on
+    the axon tunnel (round-3's 0.162 ms/surface headline was launch latency;
+    the audit that established this is results/perf_audit.json).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": <s per calibration>, "unit": "s",
@@ -28,11 +31,9 @@ def _enable_compile_cache():
     """Persistent XLA compilation cache (disable with BENCH_COMPILE_CACHE=0).
 
     The production answer to the XLA compile wall: identical programs
-    compile once per machine, ever. Round 2 shipped this disabled because
-    serializing the huge f64-EMULATED executables stalled the axon tunnel
-    indefinitely; the mixed pipeline is now float32-only end to end
-    (double-float polish, models/double_heston_dd.py), whose executables
-    serialize fine."""
+    compile once per machine, ever. The mixed pipeline is float32-only
+    XLA end to end (double-float polish, models/double_heston_dd.py),
+    whose executables serialize fine."""
     if os.environ.get("BENCH_COMPILE_CACHE") == "0":
         return
     try:
@@ -50,16 +51,22 @@ def _enable_compile_cache():
 BASELINE_S = 117.8          # reference mean wall-clock (README.md:16)
 BASELINE_ERR_PCT = 0.0236   # reference mean rel. error (README.md:16)
 N_SURFACES = 5
+N_PROBLEM_SETS = 6          # fresh input sets chained per timing trial
 TARGET_ERR_PCT = 0.03
 
 
-def build_problem(dtype):
+def build_problems(dtype, n_sets):
+    """n_sets independent 5-surface problems, truth priced at f64 on host.
+
+    Ground-truth prices are benchmark SETUP, not the measured program; they
+    come from a CPU-only SUBPROCESS (utils/hostpricer.py) so the TPU
+    process stays pure (x64-emulated TPU pricing costs minutes of compile,
+    and in-process CPU-backend use degrades subsequent tunnel dispatch)."""
     import jax
     import jax.numpy as jnp
-    from option_pricing_ffn_lbfgs_tpu.models.double_heston import (
-        DHParams, price_options)
+    from option_pricing_ffn_lbfgs_tpu.utils.hostpricer import (
+        price_truth_subprocess)
 
-    rng = np.random.default_rng(2026)
     ranges = {  # synthetic_generator.py:75-89
         "v1_0": (0.025, 0.080), "kappa1": (1.5, 4.5), "theta1": (0.025, 0.065),
         "sigma1": (0.20, 0.50), "rho1": (-0.85, -0.40),
@@ -67,29 +74,24 @@ def build_problem(dtype):
         "sigma2": (0.10, 0.35), "rho2": (-0.70, -0.20),
         "lambda_j": (0.05, 0.25), "mu_j": (-0.08, -0.01), "sigma_j": (0.03, 0.12),
     }
-    true = np.stack([rng.uniform(lo, hi, N_SURFACES)
-                     for lo, hi in ranges.values()], axis=-1)
     strikes = np.tile([90.0, 95.0, 100.0, 105.0, 110.0], 3)
     mats = np.repeat([0.25, 0.5, 1.0], 5)
-
-    spots = jnp.full((N_SURFACES,), 100.0, dtype)
-    bs = jnp.broadcast_to(jnp.asarray(strikes, dtype), (N_SURFACES, 15))
-    bm = jnp.broadcast_to(jnp.asarray(mats, dtype), (N_SURFACES, 15))
-    bc = jnp.ones((N_SURFACES, 15), bool)
-    # Ground-truth prices are benchmark SETUP, not the measured program.
-    # They are computed at native float64 in a CPU SUBPROCESS: (a) the same
-    # program x64-EMULATED on TPU costs minutes of XLA compile, and (b)
-    # touching the CPU backend inside the TPU process degrades every
-    # subsequent TPU dispatch ~50-90x on the axon tunnel (measured
-    # 2026-08-19: identical search program 2.8 ms vs 106 ms steady with/
-    # without prior jax.devices("cpu") use) — the TPU process must stay
-    # pure. See option_pricing_ffn_lbfgs_tpu/utils/hostpricer.py.
-    from option_pricing_ffn_lbfgs_tpu.utils.hostpricer import (
-        price_truth_subprocess)
-    prices = jnp.asarray(price_truth_subprocess(
-        true, np.full(N_SURFACES, 100.0), strikes, mats), dtype)
-    keys = jax.random.split(jax.random.key(0), N_SURFACES)
-    return spots, bs, bm, bc, prices, keys
+    sets = []
+    for i in range(n_sets):
+        rng = np.random.default_rng(2026 + i)
+        true = np.stack([rng.uniform(lo, hi, N_SURFACES)
+                         for lo, hi in ranges.values()], axis=-1)
+        prices = price_truth_subprocess(
+            true, np.full(N_SURFACES, 100.0), strikes, mats)
+        args = jax.device_put((
+            jnp.full((N_SURFACES,), 100.0, dtype),
+            jnp.asarray(np.broadcast_to(strikes, (N_SURFACES, 15)), dtype),
+            jnp.asarray(np.broadcast_to(mats, (N_SURFACES, 15)), dtype),
+            jnp.ones((N_SURFACES, 15), bool),
+            jnp.asarray(prices, dtype),
+            jax.random.split(jax.random.key(i), N_SURFACES)))
+        sets.append((args, prices))
+    return sets
 
 
 def run(dtype_name):
@@ -97,43 +99,52 @@ def run(dtype_name):
     import jax.numpy as jnp
     from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
         calibrate_batch, calibrate_batch_mixed)
+    from option_pricing_ffn_lbfgs_tpu.utils.timing import force_sync
 
     if dtype_name in ("float64", "mixed"):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float32 if dtype_name == "float32" else jnp.float64
 
-    spots, bs, bm, bc, prices, keys = build_problem(dtype)
+    sets = build_problems(dtype, N_PROBLEM_SETS)
 
     if dtype_name == "mixed":
-        def go():
-            return calibrate_batch_mixed(spots, jnp.asarray(0.03, dtype), bs,
-                                         bm, bc, prices, keys, n_starts=3)
+        def go(a):
+            return calibrate_batch_mixed(
+                a[0], jnp.asarray(0.03, dtype), a[1], a[2], a[3], a[4], a[5],
+                n_starts=3)
     else:
-        def go():
-            return calibrate_batch(spots, jnp.asarray(0.03, dtype), bs, bm,
-                                   bc, prices, keys, n_starts=3)
+        def go(a):
+            return calibrate_batch(
+                a[0], jnp.asarray(0.03, dtype), a[1], a[2], a[3], a[4], a[5],
+                n_starts=3)
 
     t0 = time.time()
-    out = jax.block_until_ready(go())        # compile + first run
+    out = go(sets[0][0])
+    force_sync(out.loss)
     compile_s = time.time() - t0
-    # Median of 3 steady-state runs (the axon tunnel occasionally lands a
-    # slow dispatch; a single sample is too noisy for the headline).
+
+    # Audited steady state: chain all fresh problem sets back-to-back,
+    # force-fetch at the end, divide; median of 3 trials.
     runs = []
     for _ in range(3):
-        t0 = time.time()
-        out = jax.block_until_ready(go())
-        runs.append(time.time() - t0)
+        t0 = time.perf_counter()
+        for args, _truth in sets:
+            out = go(args)
+        force_sync(out.loss)
+        runs.append((time.perf_counter() - t0) / len(sets))
     steady_s = float(np.median(runs))
 
-    rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
-                 / np.asarray(prices))
-    mean_err_pct = float(rel.mean(axis=-1).mean() * 100.0)
+    # Accuracy over every problem set (re-dispatch, fetch full outputs).
+    errs = []
+    for args, truth in sets:
+        model = np.asarray(go(args).model_prices)
+        errs.append(np.abs((model - truth) / truth).mean(axis=-1))
+    mean_err_pct = float(np.concatenate(errs).mean() * 100.0)
     return {
         "per_surface_s": steady_s / N_SURFACES,
         "steady_s": steady_s,
         "compile_s": compile_s,
         "mean_error_pct": mean_err_pct,
-        "iterations": [int(i) for i in np.asarray(out.iterations)],
         "dtype": dtype_name,
     }
 
@@ -153,6 +164,8 @@ def main():
         "baseline_error_pct": BASELINE_ERR_PCT,
         "dtype": r["dtype"],
         "batch": N_SURFACES,
+        "n_problem_sets": N_PROBLEM_SETS,
+        "timing_protocol": "chained-fresh-inputs+forced-fetch",
         "compile_s": round(r["compile_s"], 2),
     }))
 

@@ -5,16 +5,19 @@ Sweeps the surface-batch size for the f32 fast path and the mixed-precision
 path, printing a JSON line per config:
   {"batch": B, "mode": "f32"|"mixed", "surfaces_per_s": ..., "ms_per_surface": ...}
 
+Timing uses the audited chained-fresh-inputs + forced-fetch protocol
+(utils/timing.py — jax.block_until_ready is not a barrier on the axon
+tunnel; see results/perf_audit.json).
+
 Usage: python bench_scaling.py [--batches 8,64,256,1024] [--modes f32,mixed]
 """
 import argparse
 import json
-import time
 
 import numpy as np
 
 
-def build(b, dtype):
+def build(b, seed, dtype):
     import jax
     import jax.numpy as jnp
     from option_pricing_ffn_lbfgs_tpu.data.synthetic import sample_paths
@@ -23,7 +26,7 @@ def build(b, dtype):
         price_truth_subprocess)
 
     cfg = GeneratorConfig(n_samples=b)
-    params, spots = sample_paths(jax.random.key(7), cfg, dtype)
+    params, spots = sample_paths(jax.random.key(seed), cfg, dtype)
     strikes = spots[:, None] * jnp.asarray(
         np.tile([90.0, 95.0, 100.0, 105.0, 110.0], 3), dtype)[None, :] / 100.0
     mats = jnp.broadcast_to(
@@ -36,8 +39,8 @@ def build(b, dtype):
         np.asarray(params, np.float64), np.asarray(spots, np.float64),
         np.asarray(strikes, np.float64), np.asarray(mats, np.float64)),
         dtype)
-    keys = jax.random.split(jax.random.key(1), b)
-    return spots, strikes, mats, is_call, prices, keys
+    keys = jax.random.split(jax.random.key(seed + 1), b)
+    return jax.device_put((spots, strikes, mats, is_call, prices, keys))
 
 
 def main():
@@ -45,6 +48,8 @@ def main():
     ap.add_argument("--batches", default="8,64,256,1024")
     ap.add_argument("--modes", default="f32,mixed")
     ap.add_argument("--starts", type=int, default=3)
+    ap.add_argument("--sets", type=int, default=3,
+                    help="fresh input sets chained per timing trial")
     ap.add_argument("--out", default=None,
                     help="optional JSON file (e.g. results/scaling.json)")
     args = ap.parse_args()
@@ -56,30 +61,31 @@ def main():
         jax.config.update("jax_enable_x64", True)
     from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
         calibrate_batch, calibrate_batch_mixed)
+    from option_pricing_ffn_lbfgs_tpu.utils.timing import time_dispatches
 
     results = []
     for b in [int(x) for x in args.batches.split(",")]:
         for mode in modes:
             dtype = jnp.float32 if mode == "f32" else (
                 jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-            spots, strikes, mats, is_call, prices, keys = build(b, dtype)
+            inputs = [(build(b, 7 + 10 * i, dtype),)
+                      for i in range(args.sets)]
             if mode == "f32":
-                go = lambda: calibrate_batch(
-                    spots, jnp.asarray(0.03, dtype), strikes, mats, is_call,
-                    prices, keys, n_starts=args.starts)
+                go = lambda a: calibrate_batch(
+                    a[0], jnp.asarray(0.03, dtype), a[1], a[2], a[3], a[4],
+                    a[5], n_starts=args.starts)
             else:
-                go = lambda: calibrate_batch_mixed(
-                    spots, jnp.asarray(0.03, dtype), strikes, mats, is_call,
-                    prices, keys, n_starts=args.starts)
-            out = jax.block_until_ready(go())     # compile
-            t0 = time.time()
-            out = jax.block_until_ready(go())
-            dt_s = time.time() - t0
-            rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
-                         / np.asarray(prices)).mean() * 100
+                go = lambda a: calibrate_batch_mixed(
+                    a[0], jnp.asarray(0.03, dtype), a[1], a[2], a[3], a[4],
+                    a[5], n_starts=args.starts)
+            t = time_dispatches(go, inputs, repeats=2)
+            out = go(*inputs[-1])
+            a = inputs[-1][0]
+            rel = np.abs((np.asarray(out.model_prices) - np.asarray(a[4]))
+                         / np.asarray(a[4])).mean() * 100
             row = {"batch": b, "mode": mode,
-                   "surfaces_per_s": round(b / dt_s, 1),
-                   "ms_per_surface": round(dt_s / b * 1e3, 4),
+                   "surfaces_per_s": round(b / t.steady_s, 1),
+                   "ms_per_surface": round(t.steady_s / b * 1e3, 4),
                    "mean_error_pct": round(float(rel), 5)}
             results.append(row)
             print(json.dumps(row), flush=True)
@@ -89,6 +95,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"device": str(jax.devices()[0]),
                        "n_starts": args.starts,
+                       "timing_protocol":
+                       "chained-fresh-inputs+forced-fetch (utils/timing.py)",
                        "results": results}, f, indent=2)
     return results
 

@@ -48,6 +48,7 @@ class BatchCalibration(NamedTuple):
     n_evals: jnp.ndarray        # winner's objective evaluations [...]
     converged: jnp.ndarray      # winner converged flag [...]
     per_start_loss: jnp.ndarray  # all starts' final losses [..., n_starts]
+    per_start_x: jnp.ndarray = None  # all starts' iterates [..., n_starts, 13]
 
 
 def _calibrate_core(spot, rate, strikes, maturities, is_call, market_prices,
@@ -76,7 +77,8 @@ def _calibrate_core(spot, rate, strikes, maturities, is_call, market_prices,
     return BatchCalibration(
         x=x_best, params=params_vec, loss=masked[win], model_prices=model,
         iterations=res.n_iters[win], n_evals=res.n_evals[win],
-        converged=res.converged[win] & finite[win], per_start_loss=res.f)
+        converged=res.converged[win] & finite[win], per_start_loss=res.f,
+        per_start_x=res.x)
 
 
 @partial(jax.jit, static_argnames=("config", "n_starts"))
@@ -137,8 +139,11 @@ POLISH_LBFGS = LBFGSConfig(maxiter=60, ftol=1e-14, gtol=1e-10)
 # so LM converges quadratically in ~5-10 iterations AND its fixed-structure
 # loop compiles to a far smaller XLA program than the Wolfe line-search
 # state machine (phase-wise compile/runtime measurements:
-# results/compile_breakdown.json).
-POLISH_LM = LMConfig(maxiter=40, ftol=1e-15, gtol=1e-11)
+# results/compile_breakdown.json). maxiter=80: hard surfaces (Feller-
+# violating raw draws) need the extra budget — measured (CPU ablation,
+# 2026-08-20): 40 -> 80 iters cuts mean error 0.016 % -> 0.008 % on raw
+# draws; converged lanes stop early so easy surfaces pay nothing.
+POLISH_LM = LMConfig(maxiter=80, ftol=1e-15, gtol=1e-11)
 
 
 def _polish_core_lm(spot, rate, strikes, maturities, is_call, market_prices,
@@ -199,6 +204,28 @@ def _polish_batch_lm(spots, rate, strikes, maturities, is_call, market_prices,
 
 
 @partial(jax.jit, static_argnames=("config", "polish"))
+def _polish_batch_lm_starts(spots, rate, strikes, maturities, is_call,
+                            market_prices, x0, config: CalibrationConfig,
+                            polish: LMConfig):
+    """LM-polish EVERY start: x0 [B, S, 13] -> per-(surface, start) results.
+
+    Robustness fix (round 4): selecting the multi-start winner on the f32
+    SEARCH loss and polishing only that start loses whenever f32 rounding
+    reorders two basins — the polished winner can sit in a local minimum
+    while a losing start would have polished to the global one (measured:
+    occasional 0.7-3.6 % outlier surfaces on raw parameter draws). Polishing
+    all S starts and arg-minning on the POLISHED f64 loss removes that
+    failure mode; the extra starts ride the same vmap, so on TPU the cost is
+    bandwidth-parallel, not serial.
+    """
+    def one(spot, k, m, c, p, xs):
+        return jax.vmap(lambda x: _polish_core_lm(
+            spot, rate, k, m, c, p, x, config, polish))(xs)
+    return jax.vmap(one)(spots, strikes, maturities, is_call, market_prices,
+                         x0)
+
+
+@partial(jax.jit, static_argnames=("config", "polish"))
 def _polish_batch(spots, rate, strikes, maturities, is_call, market_prices,
                   x0, config: CalibrationConfig, polish: LBFGSConfig):
     def one(spot, k, m, c, p, x):
@@ -213,7 +240,8 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
                           market_prices, keys,
                           config: CalibrationConfig = CalibrationConfig(),
                           n_starts: int = 3,
-                          polish=POLISH_LM) -> BatchCalibration:
+                          polish=POLISH_LM,
+                          polish_all_starts: bool = True) -> BatchCalibration:
     """Mixed-precision batch calibration: f32 multi-start + f64 polish.
 
     TPU rationale: the f32 fast path runs the whole multi-start L-BFGS at
@@ -237,10 +265,41 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
     simply reruns in f32 (still a valid refinement).
     """
     f32 = jnp.float32
+    # Search-phase economies (results identical to <= the f32 floor, which
+    # the polish re-converges past anyway): N=64 COS terms and a per-lane
+    # evaluation cap that bounds the vmapped batch's convergence tail.
+    # Rationale and measurements: utils/config.py::CalibrationConfig.
+    search_config = dataclasses.replace(
+        config,
+        pricer=dataclasses.replace(config.pricer,
+                                   n_terms=config.search_n_terms),
+        lbfgs=dataclasses.replace(config.lbfgs,
+                                  maxeval=config.search_maxeval))
     out32 = calibrate_batch(
         jnp.asarray(spots, f32), jnp.asarray(rate, f32),
         jnp.asarray(strikes, f32), jnp.asarray(maturities, f32), is_call,
-        jnp.asarray(market_prices, f32), keys, config, n_starts)
+        jnp.asarray(market_prices, f32), keys, search_config, n_starts)
+
+    if polish_all_starts and isinstance(polish, LMConfig):
+        # Polish every start, then argmin on the POLISHED f64 loss (see
+        # _polish_batch_lm_starts docstring — kills the f32-winner-in-a-
+        # local-minimum outliers).
+        res, params_vec, model = _polish_batch_lm_starts(
+            spots, rate, strikes, maturities, is_call, market_prices,
+            out32.per_start_x, config, polish)
+        masked = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
+        win = jnp.argmin(masked, axis=-1)                       # [B]
+        b = win.shape[0]
+        take = lambda a: jnp.take_along_axis(
+            a, win.reshape(b, *([1] * (a.ndim - 1))), axis=1).squeeze(1)
+        return BatchCalibration(
+            x=take(res.x), params=take(params_vec),
+            loss=take(masked), model_prices=take(model),
+            iterations=out32.iterations + take(res.n_iters),
+            n_evals=out32.n_evals + jnp.sum(res.n_evals, axis=-1),
+            converged=take(res.converged) | out32.converged,
+            per_start_loss=masked)
+
     polish_fn = (_polish_batch_lm if isinstance(polish, LMConfig)
                  else _polish_batch)
     res, params_vec, model = polish_fn(

@@ -225,6 +225,22 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray,
                    config: LBFGSConfig = LBFGSConfig()) -> LBFGSResult:
     """Minimize ``fun`` (R^d -> R) from ``x0`` with L-BFGS. Jit/vmap-safe.
 
+    Dispatches to the flat one-evaluation-per-step state machine
+    (``lbfgs_minimize_flat``, the default — see its docstring for why it is
+    the right shape for vmapped batches on TPU) or to the nested
+    two-while-loop implementation (``config.flat = False``), kept as the
+    structural oracle: both execute the identical per-lane algorithm, and
+    tests assert they produce the same trajectories.
+    """
+    if config.flat:
+        return lbfgs_minimize_flat(fun, x0, config)
+    return lbfgs_minimize_nested(fun, x0, config)
+
+
+def lbfgs_minimize_nested(fun: Callable, x0: jnp.ndarray,
+                          config: LBFGSConfig = LBFGSConfig()) -> LBFGSResult:
+    """Nested-loop L-BFGS: outer iteration loop + inner line-search loop.
+
     Deliberately not jitted here — callers jit the enclosing computation
     (e.g. the whole multi-start calibration) so the entire solve is one
     device dispatch.
@@ -232,6 +248,14 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray,
     ``fun`` must be differentiable (jax.value_and_grad is applied once and
     traced into the loop). Non-finite gradients are zeroed defensively so a
     bad region cannot poison the search direction.
+
+    NOTE (TPU batching): under ``vmap`` a nested while-loop runs in
+    lockstep at BOTH levels — every outer iteration costs the worst lane's
+    line-search probe count, so total serial depth is
+    sum_iters(max_lanes(probes)): measured ~3,850 chained value_and_grad
+    evaluations for a batch-1024 x 3-start calibration (~43 per iteration).
+    ``lbfgs_minimize_flat`` fixes exactly this; this version remains as the
+    readable reference implementation and test oracle.
     """
     vg_raw = jax.value_and_grad(fun)
 
@@ -328,6 +352,294 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray,
             hist_len=hist_len, head=head, gamma=gamma,
             n_iters=n_iters, n_evals=n_evals, n_fail=n_fail,
             done=done, converged=converged)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return LBFGSResult(x=final.x, f=final.f, grad=final.g,
+                       n_iters=final.n_iters, n_evals=final.n_evals,
+                       converged=final.converged)
+
+
+class _FlatState(NamedTuple):
+    # --- iterate (valid at iteration boundaries) ---
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    s_hist: jnp.ndarray     # [m, d]
+    y_hist: jnp.ndarray     # [m, d]
+    rho_hist: jnp.ndarray   # [m]
+    hist_len: jnp.ndarray
+    head: jnp.ndarray
+    gamma: jnp.ndarray
+    n_iters: jnp.ndarray
+    n_evals: jnp.ndarray
+    n_fail: jnp.ndarray
+    done: jnp.ndarray
+    converged: jnp.ndarray
+    # --- line-search registers (valid mid-iteration) ---
+    bootstrap: jnp.ndarray  # bool: next eval is f(x0) itself
+    starting: jnp.ndarray   # bool: next eval opens a new iteration
+    direction: jnp.ndarray  # [d]
+    dg0: jnp.ndarray        # direction . g at iterate
+    stage: jnp.ndarray      # 0 bracketing, 1 zoom
+    alpha: jnp.ndarray      # next trial step
+    a_lo: jnp.ndarray
+    a_hi: jnp.ndarray
+    f_lo: jnp.ndarray
+    a_prev: jnp.ndarray
+    f_prev: jnp.ndarray
+    ls_evals: jnp.ndarray   # probes spent in the current line search
+    a_star: jnp.ndarray     # best accepted/fallback point so far
+    f_star: jnp.ndarray
+    g_star: jnp.ndarray     # [d]
+    x_star: jnp.ndarray     # [d]
+    ok: jnp.ndarray         # bool: line search found an acceptable point
+
+
+def lbfgs_minimize_flat(fun: Callable, x0: jnp.ndarray,
+                        config: LBFGSConfig = LBFGSConfig()) -> LBFGSResult:
+    """Flat L-BFGS: ONE while_loop, ONE value_and_grad per loop step.
+
+    Identical per-lane algorithm to ``lbfgs_minimize_nested`` (same
+    strong-Wolfe bracket/zoom, same history/restart/stopping logic), but
+    restructured as a single state machine in which every loop trip costs
+    exactly one objective evaluation, and the line-search bookkeeping is a
+    handful of scalar register updates around it.
+
+    Why: under ``vmap`` a while loop runs until every lane is done, so the
+    batch's serial depth is what matters. The nested form pays
+    sum_over_iterations(max_over_lanes(probes)) evaluations — lanes
+    resynchronize at every outer iteration, so one slow line search anywhere
+    stalls the whole batch every iteration (~43 evals/iteration measured at
+    batch 3072). The flat form pays max_over_lanes(total evaluations):
+    each lane walks its own (iteration, probe) sequence independently and
+    lanes only wait for the LONGEST TOTAL PATH, not the sum of worst cases.
+    Measured on v5e (batch 1024 x 3 starts, honest chained-dispatch
+    timing): ~3,850 -> ~300 serial evaluations for the same trajectories.
+
+    ``config.maxeval`` (0 = off) additionally caps total evaluations per
+    lane, bounding the convergence tail that large batches would otherwise
+    inherit from their slowest lane.
+    """
+    vg_raw = jax.value_and_grad(fun)
+
+    def vg_fn(x):
+        f, g = vg_raw(x)
+        g = jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g))
+        return f, g
+
+    dt = x0.dtype
+    d = x0.shape[-1]
+    m = config.history
+    gtol = jnp.asarray(config.gtol, dt)
+    ftol = jnp.asarray(config.ftol, dt)
+    c1 = jnp.asarray(config.wolfe_c1, dt)
+    c2 = jnp.asarray(config.wolfe_c2, dt)
+    zero = jnp.asarray(0.0, dt)
+    one = jnp.asarray(1.0, dt)
+    inf = jnp.asarray(jnp.inf, dt)
+
+    # Lazy bootstrap (cost=inf placeholder) keeps exactly ONE copy of the
+    # objective program in the XLA graph — same compile-size trick as
+    # ops/levenberg_marquardt.py; the first loop trip evaluates f(x0).
+    init = _FlatState(
+        x=x0, f=inf, g=jnp.zeros((d,), dt),
+        s_hist=jnp.zeros((m, d), dt), y_hist=jnp.zeros((m, d), dt),
+        rho_hist=jnp.zeros((m,), dt),
+        hist_len=jnp.asarray(0, jnp.int32), head=jnp.asarray(0, jnp.int32),
+        gamma=one,
+        n_iters=jnp.asarray(0, jnp.int32), n_evals=jnp.asarray(0, jnp.int32),
+        n_fail=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False), converged=jnp.asarray(False),
+        bootstrap=jnp.asarray(True), starting=jnp.asarray(False),
+        direction=jnp.zeros((d,), dt), dg0=zero,
+        stage=jnp.asarray(0, jnp.int32), alpha=zero,
+        a_lo=zero, a_hi=zero, f_lo=inf, a_prev=zero, f_prev=inf,
+        ls_evals=jnp.asarray(0, jnp.int32),
+        a_star=zero, f_star=inf, g_star=jnp.zeros((d,), dt), x_star=x0,
+        ok=jnp.asarray(False))
+
+    def cond(st: _FlatState):
+        return ~st.done
+
+    def body(st: _FlatState):
+        # ---- 1. Open a new iteration if flagged: direction + LS reset ----
+        direction = _two_loop_direction(
+            st.g, st.s_hist, st.y_hist, st.rho_hist, st.hist_len, st.head,
+            st.gamma)
+        dgn = jnp.dot(direction, st.g)
+        bad_dir = (dgn >= 0) | ~jnp.isfinite(dgn)
+        direction = jnp.where(bad_dir, -st.g, direction)
+        gmax = jnp.max(jnp.abs(st.g))
+        first = st.hist_len == 0
+        init_step = jnp.where(
+            first, jnp.minimum(1.0 / jnp.maximum(gmax, 1e-8), 1.0), one)
+
+        opening = st.starting
+        direction = jnp.where(opening, direction, st.direction)
+        dg0 = jnp.where(opening, jnp.dot(direction, st.g), st.dg0)
+        alpha = jnp.where(opening, init_step, st.alpha)
+        stage = jnp.where(opening, 0, st.stage)
+        a_lo = jnp.where(opening, zero, st.a_lo)
+        a_hi = jnp.where(opening, zero, st.a_hi)
+        f_lo = jnp.where(opening, st.f, st.f_lo)
+        a_prev = jnp.where(opening, zero, st.a_prev)
+        f_prev = jnp.where(opening, st.f, st.f_prev)
+        ls_evals = jnp.where(opening, 0, st.ls_evals)
+        a_star = jnp.where(opening, zero, st.a_star)
+        f_star = jnp.where(opening, st.f, st.f_star)
+        g_star = jnp.where(opening, st.g, st.g_star)
+        x_star = jnp.where(opening, st.x, st.x_star)
+        ok = jnp.where(opening, False, st.ok)
+
+        # ---- 2. THE evaluation (bootstrap probes x0 itself) ----
+        x_try = jnp.where(st.bootstrap, st.x, st.x + alpha * direction)
+        f_try, g_try = vg_fn(x_try)
+        f_try = jnp.where(jnp.isfinite(f_try), f_try, inf)
+        dg_try = jnp.dot(g_try, direction)
+        n_evals = st.n_evals + 1
+        ls_evals = ls_evals + 1
+
+        # ---- 3. Wolfe tests + bracket/zoom register transition ----
+        f0 = st.f
+        armijo_fail = f_try > f0 + c1 * alpha * dg0
+        wolfe_ok = (~armijo_fail) & (jnp.abs(dg_try) <= -c2 * dg0)
+
+        # Bracketing branch (Alg 3.5) — pure register math, both branches
+        # computed and selected by `stage` (cheap scalars; the expensive
+        # part of the step is the single vg_fn above).
+        br_hi_from_fail = armijo_fail | ((f_try >= f_prev) & (ls_evals > 1))
+        br_enter_zoom = br_hi_from_fail | (
+            (~br_hi_from_fail) & (~wolfe_ok) & (dg_try >= 0))
+        br_accept = wolfe_ok & ~br_hi_from_fail
+        br_stage = jnp.where(br_accept, 2,
+                             jnp.where(br_enter_zoom, 1, 0))
+        br_a_lo = jnp.where(br_hi_from_fail, a_prev, alpha)
+        br_f_lo = jnp.where(br_hi_from_fail, f_prev, f_try)
+        br_a_hi = jnp.where(br_hi_from_fail, alpha, a_prev)
+        br_alpha = jnp.where(
+            br_stage == 1, 0.5 * (br_a_lo + br_a_hi),
+            jnp.where(br_stage == 0, alpha * 2.0, alpha))
+
+        # Zoom branch (Alg 3.6) with safeguarded quadratic interpolation.
+        zm_accept = wolfe_ok
+        zm_shrink_hi = armijo_fail | (f_try >= f_lo)
+        zm_flip = (~zm_shrink_hi) & (dg_try * (a_hi - a_lo) >= 0)
+        zm_a_hi = jnp.where(zm_shrink_hi, alpha,
+                            jnp.where(zm_flip, a_lo, a_hi))
+        zm_a_lo = jnp.where(zm_shrink_hi, a_lo, alpha)
+        zm_f_lo = jnp.where(zm_shrink_hi, f_lo, f_try)
+        interval_dead = (jnp.abs(zm_a_hi - zm_a_lo)
+                         * jnp.maximum(jnp.abs(dg0), 1.0) < 1e-14)
+        zm_stage = jnp.where(zm_accept | interval_dead, 2, 1)
+        span = zm_a_lo - alpha
+        denom = jnp.where(jnp.abs(span) > 1e-30, span, one)
+        curv = (zm_f_lo - f_try - dg_try * span) / (denom * denom)
+        t_interp = alpha - dg_try / (2.0 * jnp.maximum(curv, 1e-30))
+        lo_b = jnp.minimum(zm_a_lo, zm_a_hi)
+        hi_b = jnp.maximum(zm_a_lo, zm_a_hi)
+        width = hi_b - lo_b
+        interp_ok = ((curv > 0) & jnp.isfinite(t_interp)
+                     & (t_interp > lo_b + 0.1 * width)
+                     & (t_interp < hi_b - 0.1 * width))
+        zm_alpha = jnp.where(interp_ok, t_interp, 0.5 * (zm_a_lo + zm_a_hi))
+
+        in_zoom = stage == 1
+        accept = jnp.where(in_zoom, zm_accept, br_accept)
+        new_stage = jnp.where(in_zoom, zm_stage, br_stage)
+        new_a_lo = jnp.where(in_zoom, zm_a_lo, br_a_lo)
+        new_a_hi = jnp.where(in_zoom, zm_a_hi, br_a_hi)
+        new_f_lo = jnp.where(in_zoom, zm_f_lo, br_f_lo)
+        next_alpha = jnp.where(in_zoom, zm_alpha, br_alpha)
+
+        # Accepted-point / best-improving-fallback registers (the fallback
+        # rescue near the Feller kink — same semantics as the nested form).
+        take_star = accept | ((f_try < f_star) & (new_stage != 2))
+        a_star = jnp.where(take_star, alpha, a_star)
+        f_star = jnp.where(take_star, f_try, f_star)
+        g_star = jnp.where(take_star, g_try, g_star)
+        x_star = jnp.where(take_star, x_try, x_star)
+        ok = ok | take_star
+
+        # ---- 4. Close the iteration on accept or probe exhaustion ----
+        ls_exhausted = ls_evals >= config.max_linesearch
+        end_iter = (new_stage == 2) | ls_exhausted
+
+        x_new = x_star
+        f_new = f_star
+        g_new = g_star
+        s = x_new - st.x
+        y = g_new - st.g
+        sy = jnp.dot(s, y)
+        yy = jnp.dot(y, y)
+        good_pair = end_iter & ok & (
+            sy > 1e-10 * jnp.sqrt(jnp.dot(s, s) * yy + 1e-300))
+        slot = st.head
+        s_hist = jnp.where(good_pair, st.s_hist.at[slot].set(s), st.s_hist)
+        y_hist = jnp.where(good_pair, st.y_hist.at[slot].set(y), st.y_hist)
+        rho_hist = jnp.where(
+            good_pair, st.rho_hist.at[slot].set(1.0 / jnp.maximum(sy, 1e-300)),
+            st.rho_hist)
+        head = jnp.where(good_pair, jnp.mod(st.head + 1, m), st.head)
+        hist_len = jnp.where(good_pair, jnp.minimum(st.hist_len + 1, m),
+                             st.hist_len)
+        gamma = jnp.where(good_pair, sy / jnp.maximum(yy, 1e-300), st.gamma)
+
+        n_iters = st.n_iters + jnp.where(end_iter, 1, 0)
+        gconv = jnp.max(jnp.abs(g_new)) <= gtol
+        fconv = (st.f - f_new) <= ftol * jnp.maximum(
+            jnp.maximum(jnp.abs(st.f), jnp.abs(f_new)), 1.0)
+        ls_failed = end_iter & ~ok
+        converged = end_iter & (gconv | (fconv & ok))
+        n_fail = jnp.where(end_iter,
+                           jnp.where(ok, 0, st.n_fail + 1), st.n_fail)
+        give_up = end_iter & (n_fail > config.max_restarts)
+        reset = ls_failed & ~give_up
+        hist_len = jnp.where(reset, 0, hist_len)
+        head = jnp.where(reset, 0, head)
+        gamma = jnp.where(reset, one, gamma)
+        eval_cap = (config.maxeval > 0) & (n_evals >= config.maxeval)
+        done = converged | give_up | (n_iters >= config.maxiter) | eval_cap
+
+        # Commit the iterate only at iteration end with an acceptable point.
+        commit = end_iter & ok
+        x_c = jnp.where(commit, x_new, st.x)
+        f_c = jnp.where(commit, f_new, st.f)
+        g_c = jnp.where(commit, g_new, st.g)
+
+        # ---- 5. Bootstrap overrides: first eval defines the iterate ----
+        boot = st.bootstrap
+        x_c = jnp.where(boot, x_try, x_c)
+        f_c = jnp.where(boot, f_try, f_c)
+        g_c = jnp.where(boot, g_try, g_c)
+        n_iters = jnp.where(boot, 0, n_iters)
+        n_fail = jnp.where(boot, 0, n_fail)
+        done = jnp.where(boot, False, done)
+        converged = jnp.where(boot, False, converged)
+        end_or_boot = end_iter | boot
+
+        new = _FlatState(
+            x=x_c, f=f_c, g=g_c,
+            s_hist=jnp.where(boot, st.s_hist, s_hist),
+            y_hist=jnp.where(boot, st.y_hist, y_hist),
+            rho_hist=jnp.where(boot, st.rho_hist, rho_hist),
+            hist_len=jnp.where(boot, st.hist_len, hist_len),
+            head=jnp.where(boot, st.head, head),
+            gamma=jnp.where(boot, st.gamma, gamma),
+            n_iters=n_iters, n_evals=n_evals, n_fail=n_fail,
+            done=done, converged=jnp.where(boot, False,
+                                           st.converged | converged),
+            bootstrap=jnp.asarray(False),
+            starting=end_or_boot,
+            direction=direction, dg0=dg0,
+            stage=new_stage, alpha=next_alpha,
+            a_lo=new_a_lo, a_hi=new_a_hi, f_lo=new_f_lo,
+            a_prev=alpha, f_prev=f_try, ls_evals=ls_evals,
+            a_star=a_star, f_star=f_star, g_star=g_star, x_star=x_star,
+            ok=ok)
+        # Done lanes hold their state (the eval still runs — unavoidable in
+        # lockstep — but nothing moves).
+        return jax.tree.map(
+            lambda old, upd: jnp.where(st.done, old, upd), st, new)
 
     final = jax.lax.while_loop(cond, body, init)
     return LBFGSResult(x=final.x, f=final.f, grad=final.g,

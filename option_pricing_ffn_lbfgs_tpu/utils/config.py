@@ -40,6 +40,15 @@ class LBFGSConfig:
     # failure resets the (s, y) history and retries from steepest descent
     # (scipy L-BFGS-B similarly discards memory on breakdown).
     max_restarts: int = 2
+    # Engine selection: the flat one-evaluation-per-step state machine
+    # (ops/lbfgs.py::lbfgs_minimize_flat) is the default — under vmap its
+    # batch serial depth is max-of-sums instead of the nested loop's
+    # sum-of-maxes (~13x fewer chained evaluations at batch 1024, measured).
+    # False selects the nested two-while-loop oracle implementation.
+    flat: bool = True
+    # Total objective-evaluation cap per solve (0 = unlimited). Bounds the
+    # convergence tail a large vmapped batch inherits from its slowest lane.
+    maxeval: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +97,18 @@ class CalibrationConfig:
     multi_start: int = 3                 # lbfgs_calibrator.py:236
     feller_weight: float = 1000.0        # lbfgs_calibrator.py:116
     bad_loss: float = 1e10               # non-finite sentinel, lbfgs_calibrator.py:153
+    # Mixed-pipeline SEARCH-phase overrides (calibrate_batch_mixed phase 1
+    # only; the polish phase always prices at pricer.n_terms):
+    #  * search_n_terms=64: the COS series converges exponentially — N=64
+    #    matches N=128 to ~1e-9 (SURVEY §6.1, measured), far below the f32
+    #    hardware floor the search phase stalls at anyway. Halves the cost
+    #    of every search evaluation.
+    #  * search_maxeval=160: caps each lane's objective evaluations so a
+    #    large vmapped batch is not held hostage by its slowest lane's
+    #    convergence tail (median lane converges in ~60-90 evals; capped
+    #    stragglers are finished by the high-precision polish).
+    search_n_terms: int = 64
+    search_maxeval: int = 160
 
 
 @dataclasses.dataclass(frozen=True)

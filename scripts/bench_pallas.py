@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,35 +41,34 @@ def main():
     strikes = np.tile([90.0, 95.0, 100.0, 105.0, 110.0], 3)
     mats = np.repeat([0.25, 0.5, 1.0], 5)
 
+    from option_pricing_ffn_lbfgs_tpu.utils.timing import time_dispatches
+
     rows = []
     for b in [int(x) for x in args.batches.split(",")]:
-        params = jnp.asarray(np.stack(
-            [rng.uniform(lo, hi, b) for lo, hi in ranges], -1), f32)
         spots = jnp.full((b,), 100.0, f32)
         bs = jnp.broadcast_to(jnp.asarray(strikes, f32), (b, 15))
         bm = jnp.broadcast_to(jnp.asarray(mats, f32), (b, 15))
         bc = jnp.ones((b, 15), bool)
+        # Fresh parameter sets per dispatch + forced-fetch chained timing
+        # (utils/timing.py) — block_until_ready alone is not a barrier on
+        # the axon tunnel (results/perf_audit.json, sanity section).
+        inputs = [(jax.device_put(jnp.asarray(np.stack(
+            [rng.uniform(lo, hi, b) for lo, hi in ranges], -1), f32)),)
+            for _ in range(6)]
+        params = inputs[0][0]
 
         xla_fn = jax.jit(jax.vmap(
             lambda p, s, k, m, c: price_options(
                 DHParams.from_vector(p), s, 0.03, k, m, c,
                 n_terms=args.n_terms)))
-        pallas_fn = lambda: price_surfaces_pallas(
-            params, spots, 0.03, bs, bm, bc, n_terms=args.n_terms)
+        fx = lambda p: xla_fn(p, spots, bs, bm, bc)
+        fp = lambda p: price_surfaces_pallas(
+            p, spots, 0.03, bs, bm, bc, n_terms=args.n_terms)
 
-        def timeit(fn, n=5):
-            jax.block_until_ready(fn())
-            runs = []
-            for _ in range(n):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn())
-                runs.append(time.perf_counter() - t0)
-            return float(np.median(runs))
-
-        t_x = timeit(lambda: xla_fn(params, spots, bs, bm, bc))
-        t_p = timeit(pallas_fn)
-        px = np.asarray(xla_fn(params, spots, bs, bm, bc))
-        pp = np.asarray(pallas_fn())
+        t_x = time_dispatches(fx, inputs).steady_s
+        t_p = time_dispatches(fp, inputs).steady_s
+        px = np.asarray(fx(params))
+        pp = np.asarray(fp(params))
         rel = np.abs(pp / px - 1)
         row = {
             "batch": b, "n_options": 15, "n_terms": args.n_terms,
@@ -84,7 +82,10 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    payload = {"device": str(jax.devices()[0]), "results": rows}
+    payload = {"device": str(jax.devices()[0]),
+               "timing_protocol":
+               "chained-fresh-inputs+forced-fetch (utils/timing.py)",
+               "results": rows}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
