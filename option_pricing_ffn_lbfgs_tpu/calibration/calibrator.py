@@ -48,7 +48,10 @@ class BatchCalibration(NamedTuple):
     n_evals: jnp.ndarray        # winner's objective evaluations [...]
     converged: jnp.ndarray      # winner converged flag [...]
     per_start_loss: jnp.ndarray  # all starts' final losses [..., n_starts]
-    per_start_x: jnp.ndarray = None  # all starts' iterates [..., n_starts, 13]
+    # Mandatory (round-5 fix): a sometimes-None NamedTuple field is a pytree
+    # landmine — it broke the shard_map out_specs and npz checkpointing in
+    # round 4. Every construction site must populate it.
+    per_start_x: jnp.ndarray    # all starts' iterates [..., n_starts, 13]
 
 
 def _calibrate_core(spot, rate, strikes, maturities, is_call, market_prices,
@@ -292,25 +295,41 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
         b = win.shape[0]
         take = lambda a: jnp.take_along_axis(
             a, win.reshape(b, *([1] * (a.ndim - 1))), axis=1).squeeze(1)
+        # iterations / n_evals report AGGREGATE pipeline cost: the f32
+        # search winner's iterations/evals plus the polish cost — polish
+        # iterations for the polished winner, polish evals summed over ALL
+        # starts (all S lanes ran; that is the true evaluation bill).
+        # converged is the POLISHED winner's flag: the f32 flag belongs to a
+        # possibly different start and says nothing about the final iterate.
         return BatchCalibration(
             x=take(res.x), params=take(params_vec),
             loss=take(masked), model_prices=take(model),
             iterations=out32.iterations + take(res.n_iters),
             n_evals=out32.n_evals + jnp.sum(res.n_evals, axis=-1),
-            converged=take(res.converged) | out32.converged,
-            per_start_loss=masked)
+            converged=take(res.converged),
+            per_start_loss=masked, per_start_x=res.x)
 
     polish_fn = (_polish_batch_lm if isinstance(polish, LMConfig)
                  else _polish_batch)
     res, params_vec, model = polish_fn(
         spots, rate, strikes, maturities, is_call, market_prices, out32.x,
         config, polish)
+    # per_start_x: the f32 search iterates, with the winner's row replaced by
+    # its polished refinement, so the field is always [B, S, 13] and the
+    # winning row equals .x on every code path.
+    win32 = jnp.argmin(
+        jnp.where(jnp.isfinite(out32.per_start_loss),
+                  out32.per_start_loss, jnp.inf), axis=-1)      # [B]
+    per_start_x = out32.per_start_x.astype(res.x.dtype)
+    b_idx = jnp.arange(per_start_x.shape[0])
+    per_start_x = per_start_x.at[b_idx, win32].set(res.x)
     return BatchCalibration(
         x=res.x, params=params_vec, loss=res.f, model_prices=model,
         iterations=out32.iterations + res.n_iters,
         n_evals=out32.n_evals + res.n_evals,
-        converged=res.converged | out32.converged,
-        per_start_loss=out32.per_start_loss)
+        converged=res.converged,
+        per_start_loss=out32.per_start_loss.astype(res.f.dtype),
+        per_start_x=per_start_x)
 
 
 def options_to_arrays(market_options: List[Dict], dtype=np.float64):

@@ -91,7 +91,7 @@ def calibrate_sharded(mesh: Mesh, spots, rate, strikes, maturities, is_call,
             BatchCalibration(x=spec_b, params=spec_b, loss=spec_b,
                              model_prices=spec_b, iterations=spec_b,
                              n_evals=spec_b, converged=spec_b,
-                             per_start_loss=spec_b),
+                             per_start_loss=spec_b, per_start_x=spec_b),
             ShardedSummary(mean_loss=P(), mean_rel_error=P(),
                            n_converged=P(), n_total=P()),
         ),

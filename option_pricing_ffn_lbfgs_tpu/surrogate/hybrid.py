@@ -142,9 +142,13 @@ def hybrid_calibrate_batch_mixed(surrogate: TrainedSurrogate, spots, rate,
     res, params_vec, model = _polish_batch_lm(
         spots, rate, strikes, maturities, is_call, market_prices, x_win,
         config, polish)
+    # per_start_x mirrors the pure mixed path: the f32 refinement iterates
+    # with the winner's row replaced by its polished refinement.
+    per_start_x = res32.x.astype(res.x.dtype)
+    per_start_x = per_start_x.at[jnp.arange(b), win].set(res.x)
     return BatchCalibration(
         x=res.x, params=params_vec, loss=res.f, model_prices=model,
         iterations=take(res32.n_iters) + res.n_iters,
         n_evals=take(res32.n_evals) + res.n_evals,
         converged=res.converged | take(res32.converged),
-        per_start_loss=res32.f)
+        per_start_loss=res32.f.astype(res.f.dtype), per_start_x=per_start_x)

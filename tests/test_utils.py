@@ -72,7 +72,7 @@ def test_batch_checkpoint_roundtrip(tmp_path):
         loss=jnp.asarray([1e-8, 2e-8]), model_prices=jnp.ones((2, 15)),
         iterations=jnp.asarray([10, 20]), n_evals=jnp.asarray([30, 60]),
         converged=jnp.asarray([True, True]),
-        per_start_loss=jnp.ones((2, 3)))
+        per_start_loss=jnp.ones((2, 3)), per_start_x=jnp.zeros((2, 3, 13)))
     path = str(tmp_path / "ckpt.npz")
     save_batch_calibration(path, out, surface_ids=["a", "b"],
                            metadata={"note": "test"})
