@@ -20,7 +20,9 @@ from _dist_problem import build_problem, tiny_config
 from option_pricing_ffn_lbfgs_tpu.parallel.mesh import make_mesh
 from option_pricing_ffn_lbfgs_tpu.parallel.sharded import calibrate_sharded
 
-pytestmark = pytest.mark.slow  # two subprocess compiles; run with `pytest -m ""`
+# Runs in the DEFAULT pytest invocation (VERDICT r4 item 7): this is the CPU
+# stand-in for the pod-slice capability and must not silently rot. ~60 s
+# (two subprocess compiles of the tiny 6-option problem).
 
 
 def _free_port():
