@@ -43,6 +43,8 @@ class LMResult(NamedTuple):
     n_iters: jnp.ndarray    # outer iterations taken
     n_evals: jnp.ndarray    # residual (+Jacobian) evaluations
     converged: jnp.ndarray  # hit gtol/ftol/xtol (vs maxiter / lambda_max)
+    lam: jnp.ndarray        # final Marquardt damping (warm-start handle
+    #                         for a continuation solve — see lam0)
 
 
 class _State(NamedTuple):
@@ -59,7 +61,8 @@ class _State(NamedTuple):
 
 def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
                 config: LMConfig = LMConfig(),
-                jac_residual_fn: Callable = None) -> LMResult:
+                jac_residual_fn: Callable = None,
+                lam0: jnp.ndarray = None) -> LMResult:
     """Minimize ``sum(residual_fn(x)**2)`` from ``x0``. Jit/vmap-safe.
 
     ``residual_fn`` maps R^d -> R^m and must be forward-mode differentiable.
@@ -78,6 +81,12 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
     so the iteration remains a strict descent method and simply takes a few
     extra cheap iterations (linear rate ~||dJ||/||J|| near the optimum)
     while the f64 program shrinks to forward evaluations only.
+
+    ``lam0``: optional initial Marquardt damping (scalar array). Pass the
+    ``lam`` of a previous LMResult to CONTINUE that solve — restarting a
+    near-converged iterate at config.lambda_init wastes iterations
+    re-learning the damping scale (used by the calibrator's compacted
+    stage-B tail completion).
     """
     dt = x0.dtype
 
@@ -105,9 +114,11 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
     r_shape = jax.eval_shape(residual_fn, x0)
     r0 = jnp.full(r_shape.shape, jnp.nan, dt)
     j0 = jnp.zeros(r_shape.shape + x0.shape, dt)
+    lam_init = (jnp.asarray(config.lambda_init, dt) if lam0 is None
+                else jnp.asarray(lam0, dt))
     init = _State(
         x=x0, r=r0, J=j0, cost=jnp.asarray(jnp.inf, dt),
-        lam=jnp.asarray(config.lambda_init, dt),
+        lam=lam_init,
         n_iters=jnp.asarray(0, jnp.int32), n_evals=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False), converged=jnp.asarray(False))
 
@@ -146,6 +157,15 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
 
         step_small = jnp.max(jnp.abs(dx)) <= xtol * jnp.maximum(
             jnp.max(jnp.abs(st.x)), 1.0)
+        # Numerical-floor detection (round 5): near the achievable floor the
+        # trial costs fluctuate at noise level, every step is rejected, and
+        # lambda escalates to lambda_max — a ~11-rejection cascade that ends
+        # in give_up and mislabels a perfectly converged solve. A REJECTED
+        # step that is already below the xtol resolution with elevated
+        # damping means no representable step can improve the cost: that is
+        # xtol convergence, reached from the rejection side.
+        xconv_stall = ((~accept) & step_small
+                       & (st.lam > 10.0 * config.lambda_init))
         # scipy-style: floor the scale at 1 so ftol acts as an absolute
         # decrease threshold once the cost is below 1 (it always is here —
         # relative-MSE losses converge to ~1e-13).
@@ -163,7 +183,10 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
         # The bootstrap iteration (st.cost == inf, zero J/g/dx — see the
         # lazy init above) must not trip any stopping test.
         bootstrap = ~jnp.isfinite(st.cost)
-        converged = (gconv | fconv | (accept & step_small)) & ~bootstrap
+        tconv = (cost_new <= config.cost_target) if config.cost_target > 0 \
+            else jnp.asarray(False)
+        converged = (gconv | fconv | (accept & step_small)
+                     | xconv_stall | tconv) & ~bootstrap
         give_up = (lam > config.lambda_max) & ~bootstrap
         n_iters = st.n_iters + 1
         # maxiter + 1 loop trips: the bootstrap trip only evaluates r(x0).
@@ -176,4 +199,4 @@ def lm_minimize(residual_fn: Callable, x0: jnp.ndarray,
     final = jax.lax.while_loop(cond, body, init)
     return LMResult(x=final.x, f=final.cost, grad=2.0 * (final.J.T @ final.r),
                     r=final.r, n_iters=final.n_iters, n_evals=final.n_evals,
-                    converged=final.converged)
+                    converged=final.converged, lam=final.lam)

@@ -110,7 +110,7 @@ def hybrid_calibrate_batch_mixed(surrogate: TrainedSurrogate, spots, rate,
     (see calibration/calibrator.py).
     """
     from ..calibration.calibrator import (
-        BatchCalibration, POLISH_LM, _polish_batch_lm)
+        BatchCalibration, POLISH_LM, _polish_batch_lm, _polish_pricer_config)
     from ..calibration.initial_guess import GUESS0
 
     if polish is None:
@@ -141,7 +141,7 @@ def hybrid_calibrate_batch_mixed(surrogate: TrainedSurrogate, spots, rate,
 
     res, params_vec, model = _polish_batch_lm(
         spots, rate, strikes, maturities, is_call, market_prices, x_win,
-        config, polish)
+        _polish_pricer_config(config), polish)
     # per_start_x mirrors the pure mixed path: the f32 refinement iterates
     # with the winner's row replaced by its polished refinement.
     per_start_x = res32.x.astype(res.x.dtype)

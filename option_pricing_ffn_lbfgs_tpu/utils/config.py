@@ -72,6 +72,16 @@ class LMConfig:
     lambda_down: float = 0.2   # damping multiplier on accepted step
     lambda_min: float = 1e-12
     lambda_max: float = 1e8    # give up when damping exceeds this
+    # Absolute cost convergence target (0 = off). The calibration cost is
+    # the MEAN SQUARED RELATIVE pricing error (+ Feller penalty), so an
+    # absolute target is dimensionless and domain-meaningful: cost <= 1e-10
+    # is rel-RMSE <= 1e-5 = 0.001 % — ~20x below the reference's 0.0236 %
+    # headline. Without it, the f32-Jacobian LM tail CRAWLS: near the floor
+    # it keeps accepting ~%-sized relative reductions of a ~1e-11 cost and
+    # burns the whole maxiter budget harvesting digits that cannot move the
+    # reported error (measured: most polish lanes ended at n_iters ==
+    # maxiter with lambda low and cost ~1e-11).
+    cost_target: float = 0.0
     # Compute the Jacobian with a float32 twin of the residual function
     # (ops/levenberg_marquardt.py::lm_minimize jac_residual_fn): a f32
     # Jacobian only perturbs the step *direction*; accept/reject on the
@@ -109,6 +119,43 @@ class CalibrationConfig:
     #    stragglers are finished by the high-precision polish).
     search_n_terms: int = 64
     search_maxeval: int = 160
+    # POLISH-phase economies (round 5; measured at batch 2048 on v5e the
+    # polish was 47.3 s of a 51 s pipeline — 92 % — because every lockstep
+    # lane pays the slowest lane's LM iteration count, mean 23 / max 81):
+    #  * polish_n_terms=64: polish residuals+Jacobian at N=64 (same
+    #    exponential-convergence argument as search_n_terms: N=64 vs 128
+    #    prices agree to ~1e-9 absolute — SURVEY §6.1 — i.e. ~1e-10
+    #    relative, far below the ~5e-5 calibration error floor). Halves
+    #    per-iteration polish cost.
+    #  * polish_stage_a_maxiter: with >= polish_compact_min_lanes lanes the
+    #    polish runs in two dispatches — stage A gives every (surface,
+    #    start) lane this many LM iterations; lanes still unconverged are
+    #    then gathered into a COMPACTED batch (padded to a power-of-two
+    #    bucket) and continued to the full budget. Identical final
+    #    semantics (every start fully polished, winner chosen on the fully
+    #    polished loss); the convergence tail just stops costing
+    #    full-batch-width iterations.
+    polish_n_terms: int = 64
+    polish_stage_a_maxiter: int = 24
+    polish_compact_min_lanes: int = 64
+    # Stage B only continues lanes that can still MATTER: unconverged AND
+    # within this factor of their surface's current-best polished loss.
+    # After stage A's high-precision LM iterations the loss ordering is
+    # trustworthy (unlike the f32 search losses that motivated
+    # polish-all-starts), so a losing start orders of magnitude behind its
+    # surface's winner is frozen instead of crawling at its own local
+    # minimum's floor for the rest of the budget.
+    polish_continue_margin: float = 30.0
+    # SEARCH-phase engine (calibrate_batch_mixed phase 1):
+    #   "vmap"    — per-lane flat L-BFGS under vmap, XLA autodiff loss
+    #               (the round-4 path; also what the sharded/multichip
+    #               layer uses per shard);
+    #   "batched" — natively-batched engine (ops/lbfgs_batched.py), XLA
+    #               autodiff loss at the batch level;
+    #   "pallas"  — batched engine + the fused Pallas value-and-grad
+    #               kernel (ops/loss_pallas.py): one VMEM-resident pass
+    #               per L-BFGS trip. The TPU fast path.
+    search_impl: str = "vmap"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,6 +85,40 @@ def test_flat_maxeval_cap():
     assert float(free.f) <= float(capped.f) + 1e-12
 
 
+def test_batched_matches_vmapped():
+    """The natively-batched engine (ops/lbfgs_batched.py) walks the exact
+    same per-lane trajectories as vmap of the per-lane flat engine — the
+    restructuring only changes WHO owns the lane axis, not the algorithm."""
+    from option_pricing_ffn_lbfgs_tpu.ops.lbfgs_batched import (
+        lbfgs_minimize_batched)
+    for fun in FUNS:
+        # f64: exact decision-sequence parity (identical step counts).
+        # f32: XLA fuses the two evaluation graphs differently, so 1-ulp
+        # objective differences can flip borderline Wolfe branches —
+        # require outcome-level parity (same minima) instead.
+        for dtype, tol, exact in [(jnp.float64, 1e-12, True),
+                                  (jnp.float32, 1e-4, False)]:
+            cfg = LBFGSConfig(maxiter=120, maxeval=150)
+            x0 = jax.random.uniform(jax.random.key(11), (7, 5), dtype,
+                                    minval=-1.5, maxval=1.5)
+            vg = jax.vmap(jax.value_and_grad(fun))
+            batched = jax.jit(
+                lambda x: lbfgs_minimize_batched(vg, x, cfg))(x0)
+            vmapped = jax.jit(jax.vmap(
+                lambda x: lbfgs_minimize_flat(fun, x, cfg)))(x0)
+            if exact:
+                np.testing.assert_array_equal(np.asarray(batched.n_iters),
+                                              np.asarray(vmapped.n_iters))
+                np.testing.assert_array_equal(np.asarray(batched.n_evals),
+                                              np.asarray(vmapped.n_evals))
+                np.testing.assert_array_equal(np.asarray(batched.converged),
+                                              np.asarray(vmapped.converged))
+                np.testing.assert_allclose(batched.x, vmapped.x, rtol=1e-9,
+                                           atol=1e-9)
+            np.testing.assert_allclose(batched.f, vmapped.f, rtol=tol,
+                                       atol=tol)
+
+
 def test_vmapped_flat_matches_sequential():
     """vmapped flat lanes are independent: each lane's result equals its
     own single-lane run (lanes only share lockstep scheduling, not state)."""
