@@ -149,13 +149,59 @@ def run(dtype_name):
     }
 
 
+def compile_probe():
+    """Fresh-process compile probe: build the bench shapes, jit the mixed
+    pipeline once, print the elapsed seconds. With the persistent XLA
+    compilation cache warmed by a prior run, this measures the REAL
+    deployment cold-start (trace + cache hits), not a from-scratch
+    compile."""
+    import jax
+    import jax.numpy as jnp
+    from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
+        calibrate_batch_mixed)
+    from option_pricing_ffn_lbfgs_tpu.utils.timing import force_sync
+
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
+    sets = build_problems(dtype, 1)
+    t0 = time.time()
+    out = calibrate_batch_mixed(
+        sets[0][0][0], jnp.asarray(0.03, dtype), *sets[0][0][1:],
+        n_starts=3)
+    force_sync(out.loss)
+    print(json.dumps({"compile_probe_s": round(time.time() - t0, 2)}))
+
+
+def _warm_compile_probe_subprocess():
+    """Run compile_probe in a FRESH process (same persistent cache dir);
+    returns its compile seconds, or None if the probe failed."""
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--compile-probe"],
+            capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in reversed(out.stdout.strip().splitlines()):
+            if "compile_probe_s" in line:
+                return json.loads(line)["compile_probe_s"]
+    except Exception:
+        pass
+    return None
+
+
 def main():
     _enable_compile_cache()
     r = run("mixed")
     if r["mean_error_pct"] > TARGET_ERR_PCT:
         r = run("float64")
+    # Demonstrate the warm-cache deployment path: a fresh process against
+    # the now-warm persistent cache (VERDICT r4 item 5 — the honest
+    # "compile wall" number is the warm one; cold compiles happen once per
+    # machine, ever).
+    warm = _warm_compile_probe_subprocess()
     value = r["per_surface_s"]
-    print(json.dumps({
+    payload = {
         "metric": "calibration_wall_clock_per_surface",
         "value": round(value, 6),
         "unit": "s",
@@ -167,8 +213,16 @@ def main():
         "n_problem_sets": N_PROBLEM_SETS,
         "timing_protocol": "chained-fresh-inputs+forced-fetch",
         "compile_s": round(r["compile_s"], 2),
-    }))
+    }
+    if warm is not None:
+        payload["compile_warm_s"] = warm
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--compile-probe" in sys.argv:
+        _enable_compile_cache()
+        compile_probe()
+    else:
+        main()

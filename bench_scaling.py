@@ -50,10 +50,17 @@ def main():
     ap.add_argument("--starts", type=int, default=3)
     ap.add_argument("--sets", type=int, default=3,
                     help="fresh input sets chained per timing trial")
+    ap.add_argument("--search-impl", default=None,
+                    help="override CalibrationConfig.search_impl")
+    ap.add_argument("--polish-impl", default=None,
+                    help="override CalibrationConfig.polish_impl")
     ap.add_argument("--out", default=None,
                     help="optional JSON file (e.g. results/scaling.json)")
     args = ap.parse_args()
 
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
+    import dataclasses
     import jax
     import jax.numpy as jnp
     modes = args.modes.split(",")
@@ -61,7 +68,14 @@ def main():
         jax.config.update("jax_enable_x64", True)
     from option_pricing_ffn_lbfgs_tpu.calibration.calibrator import (
         calibrate_batch, calibrate_batch_mixed)
+    from option_pricing_ffn_lbfgs_tpu.utils.config import CalibrationConfig
     from option_pricing_ffn_lbfgs_tpu.utils.timing import time_dispatches
+
+    cfg = CalibrationConfig()
+    if args.search_impl:
+        cfg = dataclasses.replace(cfg, search_impl=args.search_impl)
+    if args.polish_impl:
+        cfg = dataclasses.replace(cfg, polish_impl=args.polish_impl)
 
     results = []
     for b in [int(x) for x in args.batches.split(",")]:
@@ -73,12 +87,12 @@ def main():
             if mode == "f32":
                 go = lambda a: calibrate_batch(
                     a[0], jnp.asarray(0.03, dtype), a[1], a[2], a[3], a[4],
-                    a[5], n_starts=args.starts)
+                    a[5], config=cfg, n_starts=args.starts)
             else:
                 go = lambda a: calibrate_batch_mixed(
                     a[0], jnp.asarray(0.03, dtype), a[1], a[2], a[3], a[4],
-                    a[5], n_starts=args.starts)
-            t = time_dispatches(go, inputs, repeats=2)
+                    a[5], config=cfg, n_starts=args.starts)
+            t = time_dispatches(go, inputs, repeats=3)
             out = go(*inputs[-1])
             a = inputs[-1][0]
             rel = np.abs((np.asarray(out.model_prices) - np.asarray(a[4]))
@@ -95,6 +109,8 @@ def main():
         with open(args.out, "w") as f:
             json.dump({"device": str(jax.devices()[0]),
                        "n_starts": args.starts,
+                       "search_impl": cfg.search_impl,
+                       "polish_impl": cfg.polish_impl,
                        "timing_protocol":
                        "chained-fresh-inputs+forced-fetch (utils/timing.py)",
                        "results": results}, f, indent=2)

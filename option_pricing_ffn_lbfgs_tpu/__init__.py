@@ -23,7 +23,8 @@ from .models.double_heston import (
     price_single, truncation_range)
 from .calibration.calibrator import (
     BatchCalibration, DoubleHestonJumpCalibrator, calibrate_batch,
-    calibrate_surface, options_to_arrays)
+    calibrate_batch_fused, calibrate_batch_mixed, calibrate_surface,
+    options_to_arrays)
 from .calibration.loss import feller_penalty, make_loss_fn, surface_loss
 from .calibration.transforms import (
     inverse_transform, params_to_x, transform, transform_to_params)
@@ -55,7 +56,8 @@ __all__ = [
     "DHParams", "PARAM_NAMES", "char_fn", "payoff_coefficients",
     "price_options", "price_single", "truncation_range",
     "BatchCalibration", "DoubleHestonJumpCalibrator", "calibrate_batch",
-    "calibrate_surface", "options_to_arrays",
+    "calibrate_batch_fused", "calibrate_batch_mixed", "calibrate_surface",
+    "options_to_arrays",
     "feller_penalty", "make_loss_fn", "surface_loss",
     "inverse_transform", "params_to_x", "transform", "transform_to_params",
     "initial_guesses",

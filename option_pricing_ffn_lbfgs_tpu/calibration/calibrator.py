@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..models.double_heston import DHParams, PARAM_NAMES, price_options
 from ..ops.lbfgs import lbfgs_minimize
-from ..ops.levenberg_marquardt import lm_minimize
+from ..ops.levenberg_marquardt import lm_minimize, lm_minimize_batched
 from ..utils.config import CalibrationConfig, LBFGSConfig, LMConfig
 from ..utils.results import CalibrationResult
 from .initial_guess import initial_guesses
@@ -220,6 +220,66 @@ def _polish_batch_lm_warm(spots, rate, strikes, maturities, is_call,
                          x0, lam0)
 
 
+@partial(jax.jit, static_argnames=("config", "polish", "warm"))
+def _polish_lanes_fused(lane_spots, rate, lane_strikes, lane_mats, lane_call,
+                        lane_mkt, x0, lam0, config: CalibrationConfig,
+                        polish: LMConfig, warm: bool = False):
+    """Batched-LM polish over flat [L] lanes with the fused Pallas Jacobian.
+
+    Same per-lane semantics as _polish_core_lm under vmap, but the lane
+    axis is owned by the batched engine so the f32 Jacobian comes from ONE
+    reverse-sweep kernel pass (ops/loss_pallas.py, mode="jac") instead of
+    13 forward tangents per lane — the Jacobian was ~half the measured
+    polish per-iteration cost. Residuals stay the DD (or native) per-lane
+    functions vmapped at batch level.
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    use_dd = polish.residual_impl == "dd" and dtype == jnp.float64
+    cast = lambda a: jnp.asarray(a, dtype)
+    sp, ks, ms, mk = map(cast, (lane_spots, lane_strikes, lane_mats,
+                                lane_mkt))
+    rate_c = cast(rate)
+
+    def res_one(x, s, k, m, c, p):
+        make = make_residual_fn_dd if use_dd else make_residual_fn
+        return make(s, rate_c, k, m, c, p, config)(x)
+
+    residual_fn = lambda x: jax.vmap(res_one)(x, sp, ks, ms, lane_call, mk)
+
+    jac_fn = None
+    if polish.f32_jacobian and dtype == jnp.float64:
+        from ..ops.loss_pallas import make_batch_residual_jacobian
+        f32 = jnp.float32
+        jac32 = make_batch_residual_jacobian(
+            lane_spots.astype(f32), lane_strikes.astype(f32),
+            lane_mats.astype(f32), lane_call, lane_mkt.astype(f32),
+            jnp.asarray(rate, f32), config,
+            interpret=jax.default_backend() != "tpu")
+        jac_fn = lambda x: jac32(jnp.asarray(x, f32))
+
+    res = lm_minimize_batched(residual_fn, cast(x0), polish, jac_fn=jac_fn,
+                              lam0=cast(lam0) if warm else None)
+    params_vec = transform(res.x)
+    n_opt = lane_mkt.shape[-1]
+    scale = jnp.sqrt(jnp.asarray(n_opt, mk.dtype))
+    model = mk * (1.0 + res.r[:, :n_opt] * scale)
+    return res, params_vec, model
+
+
+def _polish_starts_fused(spots, rate, strikes, maturities, is_call,
+                         market_prices, x0, config: CalibrationConfig,
+                         polish: LMConfig):
+    """Fused-Jacobian variant of _polish_batch_lm_starts: x0 [B, S, 13]."""
+    b, s = x0.shape[:2]
+    rep = lambda a: jnp.repeat(jnp.asarray(a), s, axis=0)
+    res, params_vec, model = _polish_lanes_fused(
+        rep(spots), rate, rep(strikes), rep(maturities), rep(is_call),
+        rep(market_prices), x0.reshape(b * s, 13),
+        jnp.zeros((b * s,)), config, polish, warm=False)
+    shape2 = lambda a: a.reshape(b, s, *a.shape[1:])
+    return (jax.tree.map(shape2, res), shape2(params_vec), shape2(model))
+
+
 @partial(jax.jit, static_argnames=("config", "polish"))
 def _polish_batch_lm_starts(spots, rate, strikes, maturities, is_call,
                             market_prices, x0, config: CalibrationConfig,
@@ -320,10 +380,11 @@ def _polish_pricer_config(config: CalibrationConfig) -> CalibrationConfig:
 
 def _continue_unconverged(spots, rate, strikes, maturities, is_call,
                           market_prices, res, params_vec, model,
-                          polish_config: CalibrationConfig, polish: LMConfig):
+                          polish_config: CalibrationConfig, polish: LMConfig,
+                          maxiter: int = None):
     """Stage-B tail completion: gather the (surface, start) lanes stage A
-    left unconverged into a COMPACTED batch, run them to the full LM budget,
-    and scatter the results back.
+    left unconverged into a COMPACTED batch, run them for (up to)
+    ``maxiter`` more LM iterations, and scatter the results back.
 
     Under vmap a while_loop runs in lockstep, so a full-width polish pays
     max-over-lanes iterations on EVERY lane (measured at batch 2048 x 3
@@ -335,6 +396,8 @@ def _continue_unconverged(spots, rate, strikes, maturities, is_call,
     power-of-two bucket so recompiles are bounded (the XLA executables are
     persistently cached).
     """
+    if maxiter is not None:
+        polish = dataclasses.replace(polish, maxiter=maxiter)
     b, s = res.x.shape[:2]
     conv = np.asarray(jax.device_get(res.converged))          # [B, S]
     f = np.asarray(jax.device_get(res.f))                     # [B, S]
@@ -362,10 +425,17 @@ def _continue_unconverged(spots, rate, strikes, maturities, is_call,
     # lane that ended stage A mid rejection-cascade would otherwise start
     # stage B damped to death and give up instantly.
     lam0 = jnp.clip(flat(res.lam)[lanes], polish.lambda_init, 1e2)
-    resB, paramsB, modelB = _polish_batch_lm_warm(
-        jnp.asarray(spots)[surf], rate, gsurf(strikes), gsurf(maturities),
-        gsurf(is_call), gsurf(market_prices), flat(res.x)[lanes],
-        lam0, polish_config, polish)
+    if (polish_config.polish_impl == "pallas"
+            and n_pad >= polish_config.polish_fused_min_lanes):
+        resB, paramsB, modelB = _polish_lanes_fused(
+            jnp.asarray(spots)[surf], rate, gsurf(strikes),
+            gsurf(maturities), gsurf(is_call), gsurf(market_prices),
+            flat(res.x)[lanes], lam0, polish_config, polish, warm=True)
+    else:
+        resB, paramsB, modelB = _polish_batch_lm_warm(
+            jnp.asarray(spots)[surf], rate, gsurf(strikes),
+            gsurf(maturities), gsurf(is_call), gsurf(market_prices),
+            flat(res.x)[lanes], lam0, polish_config, polish)
 
     live = idx.size
     put = lambda whole, part: flat(whole).at[jnp.asarray(idx)].set(
@@ -455,13 +525,26 @@ def calibrate_batch_mixed(spots, rate, strikes, maturities, is_call,
         stage_a = (dataclasses.replace(
             polish, maxiter=config.polish_stage_a_maxiter)
             if compact else polish)
-        res, params_vec, model = _polish_batch_lm_starts(
+        use_fused = (config.polish_impl == "pallas"
+                     and n_lanes >= config.polish_fused_min_lanes)
+        starts_fn = (_polish_starts_fused if use_fused
+                     else _polish_batch_lm_starts)
+        res, params_vec, model = starts_fn(
             spots, rate, strikes, maturities, is_call, market_prices,
             out32.per_start_x, polish_config, stage_a)
         if compact:
-            res, params_vec, model = _continue_unconverged(
-                spots, rate, strikes, maturities, is_call, market_prices,
-                res, params_vec, model, polish_config, polish)
+            # Multi-wave tail completion: each wave re-compacts to the
+            # lanes still unconverged AND still able to win (the matter
+            # margin re-evaluates as basins separate), so the lockstep
+            # width shrinks wave over wave instead of the whole tail
+            # paying full-batch iterations. Budgets sum past
+            # polish.maxiter so stragglers get at least the single-stage
+            # budget.
+            for wave_iters in config.polish_wave_budgets:
+                res, params_vec, model = _continue_unconverged(
+                    spots, rate, strikes, maturities, is_call,
+                    market_prices, res, params_vec, model, polish_config,
+                    polish, maxiter=wave_iters)
         masked = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
         win = jnp.argmin(masked, axis=-1)                       # [B]
         b = win.shape[0]

@@ -56,28 +56,38 @@ def _kernel_vg(rate_ref, params_ref, spots_ref, strikes_ref, mats_ref,
     prev = _cm._ARCTAN2[0]
     _cm._ARCTAN2[0] = _cm.arctan2_poly
     try:
-        def price_of(p):
-            return _price_tile(
-                p, spots_ref[:, :], rate_ref[0], strikes_ref[:, :],
-                mats_ref[:, :], call_ref[:, :] != 0, valid_ref[:, :] != 0,
-                n_terms)
+        # Trace the body with x64 DISABLED: under jax_enable_x64 the python
+        # float literals in where()/arithmetic become f64[] scalar
+        # constants inside the kernel jaxpr, and Mosaic SIGABRTs the TPU
+        # compiler on any f64 (measured 2026-08-21). The kernel is
+        # f32-only by design.
+        with jax.enable_x64(False):
+            def price_of(p):
+                return _price_tile(
+                    p, spots_ref[:, :], rate_ref[0], strikes_ref[:, :],
+                    mats_ref[:, :], call_ref[:, :] != 0,
+                    valid_ref[:, :] != 0, n_terms)
 
-        if remat:
-            # Recompute the forward during the in-kernel backward sweep:
-            # halves the live [F, N] residual set, buying bigger tiles
-            # within the 16 MB VMEM budget at ~1.5x the (cheap) flops.
-            price_of = jax.checkpoint(price_of)
-        price, vjp = jax.vjp(price_of, params_ref[:, :])
-        mkt = mkt_ref[:, :]
-        valid = valid_ref[:, :] != 0
-        if mode == "loss":
-            w = 2.0 * (price - mkt) / (mkt * mkt * float(n_opt))
-        else:
-            w = jnp.full_like(mkt, 1.0 / math.sqrt(float(n_opt))) / mkt
-        w = jnp.where(valid, w, 0.0)
-        gp, = vjp(w)
-        price_ref[:, :] = price
-        grad_ref[:, :] = gp
+            if remat:
+                # Recompute the forward during the in-kernel backward
+                # sweep — NOTE: jax.checkpoint's remat2 primitive has no
+                # Mosaic lowering (measured 2026-08-21: "Unimplemented
+                # primitive ... remat2"), so this only works in interpret
+                # mode; the TPU kernel instead uses small tiles (default
+                # 64 rows) to fit the ~16 MB VMEM budget. Kept for
+                # interpreter experiments.
+                price_of = jax.checkpoint(price_of)
+            price, vjp = jax.vjp(price_of, params_ref[:, :])
+            mkt = mkt_ref[:, :]
+            valid = valid_ref[:, :] != 0
+            if mode == "loss":
+                w = 2.0 * (price - mkt) / (mkt * mkt * float(n_opt))
+            else:
+                w = jnp.full_like(mkt, 1.0 / math.sqrt(float(n_opt))) / mkt
+            w = jnp.where(valid, w, 0.0)
+            gp, = vjp(w)
+            price_ref[:, :] = price
+            grad_ref[:, :] = gp
     finally:
         _cm._ARCTAN2[0] = prev
 
@@ -94,21 +104,26 @@ def _rows_price_and_grad(params_rows, spots_rows, strikes_rows, mats_rows,
     grid = (n_flat // tile_f,)
     row_spec = lambda width: pl.BlockSpec(
         (tile_f, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    price, grad = pl.pallas_call(
-        partial(_kernel_vg, n_terms=n_terms, n_opt=n_opt, mode=mode,
-                remat=remat),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # rate
-            row_spec(13), row_spec(1), row_spec(1), row_spec(1),
-            row_spec(1), row_spec(1), row_spec(1),
-        ],
-        out_specs=(row_spec(1), row_spec(13)),
-        out_shape=(jax.ShapeDtypeStruct((n_flat, 1), f32),
-                   jax.ShapeDtypeStruct((n_flat, 13), f32)),
-        interpret=interpret,
-    )(jnp.asarray([rate], f32), params_rows, spots_rows, strikes_rows,
-      mats_rows, call_rows, valid_rows, mkt_rows)
+    # x64 disabled around the WHOLE pallas_call trace: not just the body —
+    # the BlockSpec index maps also trace here, and under jax_enable_x64
+    # they return i64 grid indices that Mosaic cannot legalize
+    # ("failed to legalize operation 'func.return'", measured 2026-08-21).
+    with jax.enable_x64(False):
+        price, grad = pl.pallas_call(
+            partial(_kernel_vg, n_terms=n_terms, n_opt=n_opt, mode=mode,
+                    remat=remat),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # rate
+                row_spec(13), row_spec(1), row_spec(1), row_spec(1),
+                row_spec(1), row_spec(1), row_spec(1),
+            ],
+            out_specs=(row_spec(1), row_spec(13)),
+            out_shape=(jax.ShapeDtypeStruct((n_flat, 1), f32),
+                       jax.ShapeDtypeStruct((n_flat, 13), f32)),
+            interpret=interpret,
+        )(jnp.asarray([rate], f32), params_rows, spots_rows, strikes_rows,
+          mats_rows, call_rows, valid_rows, mkt_rows)
     return price, grad
 
 
@@ -161,8 +176,8 @@ class _SurfaceRows:
 def make_batch_value_and_grad(spots, strikes, maturities, is_call,
                               market_prices, rate,
                               config: CalibrationConfig,
-                              tile_f: int = 128, interpret: bool = False,
-                              remat: bool = True):
+                              tile_f: int = 64, interpret: bool = False,
+                              remat: bool = False):
     """Batch-level ``vg(x: [L, 13]) -> (f: [L], g: [L, 13])`` callable whose
     pricing value+gradient runs in the fused Pallas kernel.
 
@@ -221,9 +236,9 @@ def make_batch_value_and_grad(spots, strikes, maturities, is_call,
 def make_batch_residual_jacobian(spots, strikes, maturities, is_call,
                                  market_prices, rate,
                                  config: CalibrationConfig,
-                                 tile_f: int = 128,
+                                 tile_f: int = 64,
                                  interpret: bool = False,
-                                 remat: bool = True):
+                                 remat: bool = False):
     """Batch-level f32 residual Jacobian for the LM polish.
 
     Returns ``jac(x: [L, 13]) -> J: [L, n_opt + 2, 13]`` matching

@@ -136,8 +136,13 @@ class CalibrationConfig:
     #    polished loss); the convergence tail just stops costing
     #    full-batch-width iterations.
     polish_n_terms: int = 64
-    polish_stage_a_maxiter: int = 24
+    polish_stage_a_maxiter: int = 10
     polish_compact_min_lanes: int = 64
+    # Stage-B wave budgets: each wave continues the still-unconverged,
+    # still-able-to-win lanes (re-compacted between waves as basins
+    # separate) for this many more LM iterations. Sums to > the
+    # single-stage maxiter so stragglers lose nothing.
+    polish_wave_budgets: Tuple[int, ...] = (16, 24, 48)
     # Stage B only continues lanes that can still MATTER: unconverged AND
     # within this factor of their surface's current-best polished loss.
     # After stage A's high-precision LM iterations the loss ordering is
@@ -156,6 +161,17 @@ class CalibrationConfig:
     #               kernel (ops/loss_pallas.py): one VMEM-resident pass
     #               per L-BFGS trip. The TPU fast path.
     search_impl: str = "vmap"
+    # POLISH-phase engine: "vmap" = per-lane LM under vmap with 13-tangent
+    # jacfwd f32 Jacobians (round-4 path); "pallas" = batched LM
+    # (ops/levenberg_marquardt.py::lm_minimize_batched) with the fused
+    # reverse-sweep Jacobian kernel — one kernel pass instead of 13
+    # forward tangents (the Jacobian was ~half the polish per-iteration
+    # cost). The "pallas" engine only engages above
+    # polish_fused_min_lanes (measured: kernel-call overheads make it
+    # SLOWER than vmap below a few hundred lanes — batch 8 regressed
+    # 48 -> 18 surfaces/s before this guard).
+    polish_impl: str = "vmap"
+    polish_fused_min_lanes: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

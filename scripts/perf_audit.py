@@ -230,7 +230,58 @@ def section_pallas(batches=(1024, 4096)):
             "pallas_vs_xla_speedup": round(tx.steady_s / tp.steady_s, 3),
             "max_rel_disagreement": float(rel),
         })
+    rows += _pallas_vg_rows()
     return rows
+
+
+def _pallas_vg_rows(lanes=6144, n_terms=64, k_chain=64):
+    """Fused value-and-grad kernel (ops/loss_pallas.py) vs XLA autodiff."""
+    import jax
+    import jax.numpy as jnp
+    from option_pricing_ffn_lbfgs_tpu.calibration.loss import make_loss_fn
+    from option_pricing_ffn_lbfgs_tpu.ops.loss_pallas import (
+        make_batch_value_and_grad)
+    from option_pricing_ffn_lbfgs_tpu.utils.config import (
+        CalibrationConfig, PricerConfig)
+    from option_pricing_ffn_lbfgs_tpu.utils.timing import time_jitted
+
+    f32 = jnp.float32
+    cfg = CalibrationConfig(pricer=PricerConfig(n_terms=n_terms))
+    spots = jnp.full((lanes,), 100.0, f32)
+    ks = jnp.asarray(np.broadcast_to(STRIKES, (lanes, 15)), f32)
+    ms = jnp.asarray(np.broadcast_to(MATS, (lanes, 15)), f32)
+    cal = jnp.ones((lanes, 15), bool)
+    mkt = jnp.asarray(np.broadcast_to(np.linspace(2.0, 14.0, 15),
+                                      (lanes, 15)), f32)
+    x = jnp.asarray(np.random.default_rng(0).normal(-1.5, 0.3, (lanes, 13)),
+                    f32)
+
+    def one(xv, s, k, m, c, p):
+        return jax.value_and_grad(make_loss_fn(s, jnp.float32(0.03), k, m,
+                                               c, p, cfg))(xv)
+
+    vg_x = lambda xs: jax.vmap(one)(xs, spots, ks, ms, cal, mkt)
+    vg_p = make_batch_value_and_grad(spots, ks, ms, cal, mkt, 0.03, cfg)
+
+    def scan_of(vg):
+        @jax.jit
+        def scan_eval(x0):
+            def step(xc, _):
+                f, g = vg(xc)
+                return xc - 1e-6 * g, f
+            xK, fs = jax.lax.scan(step, x0, None, length=k_chain)
+            return xK.sum() + fs[-1].sum()
+        return scan_eval
+
+    tx = time_jitted(scan_of(vg_x), x, repeats=3, chain=1)
+    tp = time_jitted(scan_of(vg_p), x, repeats=3, chain=1)
+    return [{
+        "section": "pallas",
+        "config": f"value_and_grad_lanes{lanes}_N{n_terms}",
+        "xla_ms_per_eval": round(tx.steady_s / k_chain * 1e3, 3),
+        "pallas_ms_per_eval": round(tp.steady_s / k_chain * 1e3, 3),
+        "pallas_vs_xla_speedup": round(tx.steady_s / tp.steady_s, 3),
+    }]
 
 
 def section_ffn(batches=(1, 64, 1024)):
@@ -262,11 +313,83 @@ def section_ffn(batches=(1, 64, 1024)):
     return rows
 
 
+def section_mfu(lanes=6144, n_terms=64, k_chain=64):
+    """FLOP-counted utilization of the hot op (VERDICT r4 item 2).
+
+    The search phase's unit of work is one value_and_grad of the surface
+    loss over all lanes. FLOPs/transcendentals come from XLA's own cost
+    model (compiled.cost_analysis() — no hand estimates), the time from
+    the chained-scan protocol, and utilization is reported against two
+    ceilings: the v5e bf16 MXU peak (197 TFLOP/s, the marketing number)
+    and a ~4 TFLOP/s f32 VPU vector ceiling (8x128 lanes x 4 ALUs x
+    ~0.94 GHz) — this workload is transcendental-heavy VPU code with zero
+    MXU work, so the VPU number is the honest roofline.
+    """
+    import jax
+    import jax.numpy as jnp
+    from option_pricing_ffn_lbfgs_tpu.calibration.loss import make_loss_fn
+    from option_pricing_ffn_lbfgs_tpu.utils.config import (
+        CalibrationConfig, PricerConfig)
+    from option_pricing_ffn_lbfgs_tpu.utils.timing import time_jitted
+
+    f32 = jnp.float32
+    cfg = CalibrationConfig(pricer=PricerConfig(n_terms=n_terms))
+    spots = jnp.full((lanes,), 100.0, f32)
+    ks = jnp.asarray(np.broadcast_to(STRIKES, (lanes, 15)), f32)
+    ms = jnp.asarray(np.broadcast_to(MATS, (lanes, 15)), f32)
+    cal = jnp.ones((lanes, 15), bool)
+    mkt = jnp.asarray(np.broadcast_to(np.linspace(2.0, 14.0, 15),
+                                      (lanes, 15)), f32)
+    x = jnp.asarray(np.random.default_rng(0).normal(-1.5, 0.3, (lanes, 13)),
+                    f32)
+
+    def one(xv, s, k, m, c, p):
+        return jax.value_and_grad(make_loss_fn(s, jnp.float32(0.03), k, m,
+                                               c, p, cfg))(xv)
+
+    vg = lambda xs: jax.vmap(one)(xs, spots, ks, ms, cal, mkt)
+
+    # FLOP count of ONE evaluation from XLA's cost model.
+    compiled = jax.jit(vg).lower(x).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    transc = float(ca.get("transcendentals", 0.0))
+
+    @jax.jit
+    def scan_eval(x0):
+        def step(xc, _):
+            f, g = vg(xc)
+            return xc - 1e-6 * g, f
+        xK, fs = jax.lax.scan(step, x0, None, length=k_chain)
+        return xK.sum() + fs[-1].sum()
+
+    t = time_jitted(scan_eval, x, repeats=3, chain=1)
+    per_eval_s = t.steady_s / k_chain
+    achieved = flops / per_eval_s
+    PEAK_BF16 = 197e12
+    PEAK_VPU_F32 = 3.9e12
+    return [{
+        "section": "mfu", "config": f"search_vg_lanes{lanes}_N{n_terms}",
+        "ms_per_eval": round(per_eval_s * 1e3, 3),
+        "xla_flops_per_eval": flops,
+        "xla_transcendentals_per_eval": transc,
+        "achieved_gflops": round(achieved / 1e9, 1),
+        "mfu_pct_vs_bf16_mxu_peak": round(achieved / PEAK_BF16 * 100, 3),
+        "util_pct_vs_f32_vpu_ceiling": round(
+            achieved / PEAK_VPU_F32 * 100, 2),
+        "note": "transcendental-heavy VPU workload, zero MXU work; each "
+                "transcendental costs multiple VPU ops so flops-based "
+                "utilization understates true occupancy",
+    }]
+
+
 SECTIONS = {
     "sanity": section_sanity,
     "pricer": section_pricer,
     "calibrate": section_calibrate,
     "mixed": section_mixed,
+    "mfu": section_mfu,
     "pallas": section_pallas,
     "ffn": section_ffn,
 }

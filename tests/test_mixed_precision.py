@@ -71,3 +71,52 @@ def test_iterations_accumulate(mixed_out):
     mixed = mixed_out
     assert np.all(np.asarray(mixed.iterations) >= 1)
     assert np.all(np.asarray(mixed.n_evals) > np.asarray(mixed.iterations))
+
+
+def test_pallas_polish_impl_matches_vmap(batch3, mixed_out):
+    """polish_impl='pallas' (batched LM + fused reverse-sweep Jacobian)
+    reaches the same optima as the vmap path (round-5 engines)."""
+    import dataclasses
+    spots, bs, bm, bc, prices, keys = batch3
+    cfg = dataclasses.replace(CFG, polish_impl="pallas")
+    out = calibrate_batch_mixed(spots, 0.03, bs, bm, bc, prices, keys,
+                                config=cfg)
+    rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
+                 / np.asarray(prices)).mean()
+    rel_vmap = np.abs((np.asarray(mixed_out.model_prices)
+                       - np.asarray(prices)) / np.asarray(prices)).mean()
+    assert rel * 100 < 0.03
+    assert rel < 10 * rel_vmap + 1e-6
+
+
+def test_compacted_two_stage_polish(batch3):
+    """Forcing compaction (min_lanes=1) preserves accuracy: the stage-B
+    tail completion must land at the same optima as the single-stage
+    polish within the f32-Jacobian floor."""
+    import dataclasses
+    spots, bs, bm, bc, prices, keys = batch3
+    cfg = dataclasses.replace(CFG, polish_compact_min_lanes=1)
+    out = calibrate_batch_mixed(spots, 0.03, bs, bm, bc, prices, keys,
+                                config=cfg)
+    rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
+                 / np.asarray(prices)).mean()
+    assert rel * 100 < 0.03
+    # winner rows of per_start_x must equal .x on every path (round-5
+    # contract for the mandatory per_start_x field)
+    win = np.argmin(np.asarray(out.per_start_loss), axis=-1)
+    for i, w in enumerate(win):
+        np.testing.assert_allclose(np.asarray(out.per_start_x)[i, w],
+                                   np.asarray(out.x)[i], rtol=1e-12)
+
+
+def test_fused_search_impl(batch3):
+    """search_impl='batched' (natively-batched engine) matches the vmap
+    search at outcome level through the full mixed pipeline."""
+    import dataclasses
+    spots, bs, bm, bc, prices, keys = batch3
+    cfg = dataclasses.replace(CFG, search_impl="batched")
+    out = calibrate_batch_mixed(spots, 0.03, bs, bm, bc, prices, keys,
+                                config=cfg)
+    rel = np.abs((np.asarray(out.model_prices) - np.asarray(prices))
+                 / np.asarray(prices)).mean()
+    assert rel * 100 < 0.03

@@ -199,3 +199,23 @@ def test_training_history_finite_and_two_stage():
         assert tl.size > 0 and vl.size > 0
         assert np.isfinite(tl).all(), f"{stage} train_loss has NaN/Inf"
         assert np.isfinite(vl).all(), f"{stage} val_loss has NaN/Inf"
+
+
+def test_cited_artifacts_exist():
+    """Files the code/docs cite as evidence must actually be committed
+    (VERDICT r4 'What's missing' #1: utils/timing.py, bench.py and
+    scripts/perf_audit.py all cite results/perf_audit.json as the audit
+    record — in round 4 the file did not exist)."""
+    cited = [
+        "perf_audit.json",        # utils/timing.py:15, bench.py docstring
+        "scaling.json",           # VERDICT scaling evidence
+        "compile_breakdown.json",  # calibrator.py docstrings
+        "pallas_bench.json",      # ops/cos_pallas.py provenance
+        "raw_draws_bench.json",   # scripts/bench_raw_draws.py
+        "COMPARISON_TABLE.txt",
+        "lbfgs_actual_results.json",
+        "hybrid_actual_results.json",
+    ]
+    missing = [f for f in cited
+               if not os.path.exists(os.path.join(RESULTS_DIR, f))]
+    assert not missing, f"cited results artifacts missing: {missing}"
