@@ -94,7 +94,7 @@ def _kernel(rate_ref, params_ref, spots_ref, strikes_ref, mats_ref,
 @partial(jax.jit,
          static_argnames=("n_terms", "tile_b", "interpret"))
 def price_surfaces_pallas(params, spots, rate, strikes, maturities, is_call,
-                          n_terms: int = 128, tile_b: int = 8,
+                          n_terms: int = 128, tile_b: int = 32,
                           interpret: bool = False):
     """Price a batch of surfaces with the fused Pallas kernel (float32).
 
@@ -136,17 +136,21 @@ def price_surfaces_pallas(params, spots, rate, strikes, maturities, is_call,
     grid = (n_flat // tile_f,)
     row_spec = lambda width: pl.BlockSpec(
         (tile_f, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_kernel, n_terms=n_terms),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # rate
-            row_spec(13), row_spec(1),
-            row_spec(1), row_spec(1),
-            row_spec(1), row_spec(1),
-        ],
-        out_specs=row_spec(1),
-        out_shape=jax.ShapeDtypeStruct((n_flat, 1), f32),
-        interpret=interpret,
-    )(rate_arr, params_p, spots_p, strikes_p, mats_p, call_p, valid)
+    # x64 disabled around the trace: under jax_enable_x64 python-float
+    # literals become f64 kernel constants and the BlockSpec index maps
+    # return i64 — both kill the Mosaic compiler (see ops/loss_pallas.py).
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_kernel, n_terms=n_terms),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # rate
+                row_spec(13), row_spec(1),
+                row_spec(1), row_spec(1),
+                row_spec(1), row_spec(1),
+            ],
+            out_specs=row_spec(1),
+            out_shape=jax.ShapeDtypeStruct((n_flat, 1), f32),
+            interpret=interpret,
+        )(rate_arr, params_p, spots_p, strikes_p, mats_p, call_p, valid)
     return out.reshape(b_pad, n_opt_pad)[:b, :n_opt]
